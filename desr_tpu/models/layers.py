@@ -1,0 +1,472 @@
+"""TPU-native NN layer system.
+
+Design (deliberately NOT a port of torch.nn):
+
+- A network is a static Python object built once at configuration time; it has
+  two pure functions: ``init(key) -> params`` and ``apply(params, x, ctx)``.
+- ``params`` is a FLAT dict mapping PyTorch ``state_dict`` key strings (e.g.
+  ``"model.1.weight"``) to jnp arrays **stored in torch layouts** (conv:
+  OIHW, conv-transpose: IOHW). This single decision makes the reference's
+  checkpoint contract (``<epoch>_net_<Name>.pth`` files, tolerant
+  shape-filtered partial merge, cross-stage weight handoff — see
+  models/base_model.py:150-237 in the reference) trivial: the param tree *is*
+  the state_dict. XLA folds the layout transposes into the convolutions.
+- Activations are NHWC (TPU-native). ``Ctx`` threads train-mode, dropout rng
+  and the compute dtype; params stay float32, compute can run in bfloat16 with
+  float32 accumulation on the MXU.
+
+Layer semantics match torch.nn modules exactly (validated in
+tests/test_networks_parity.py by loading our params into the reference's torch
+modules and comparing outputs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Ctx:
+    """Per-call context threaded through apply()."""
+
+    train: bool = False
+    rng: Optional[jax.Array] = None
+    dtype: Any = jnp.float32  # compute dtype for convs / activations
+
+
+@dataclasses.dataclass(frozen=True)
+class InitCfg:
+    """Weight init configuration.
+
+    The reference has two init conventions:
+    - pix2pix lineage (models/networks.py:69-100): gain is a float
+      (``init_gain``, default 0.02) used directly for xavier/orthogonal.
+    - translation lineage (models/translation_network.py:85-116): gain is
+      computed via ``init.calculate_gain(nonlinearity, param)``.
+    Setting ``gain_from_nonlinearity=True`` selects the latter.
+    """
+
+    init_type: str = "normal"
+    init_gain: float = 0.02
+    gain_from_nonlinearity: bool = False
+    nonlinearity: str = "relu"
+    neg_slope: Optional[float] = None
+
+
+def calculate_gain(nonlinearity, param=None):
+    if nonlinearity == "relu":
+        return math.sqrt(2.0)
+    if nonlinearity == "leaky_relu":
+        neg = 0.01 if param is None else param
+        return math.sqrt(2.0 / (1 + neg ** 2))
+    if nonlinearity in ("linear", "conv2d", "sigmoid"):
+        return 1.0
+    if nonlinearity == "tanh":
+        return 5.0 / 3
+    raise ValueError(nonlinearity)
+
+
+def _fans(shape):
+    # torch convention: fan_in = in_ch * prod(kernel), fan_out = out_ch * prod(kernel)
+    receptive = int(np.prod(shape[2:])) if len(shape) > 2 else 1
+    fan_in = shape[1] * receptive
+    fan_out = shape[0] * receptive
+    return fan_in, fan_out
+
+
+def init_weight(key, shape, cfg: InitCfg):
+    """Conv/linear weight init matching the reference's init_weights."""
+    if cfg.gain_from_nonlinearity:
+        gain = calculate_gain(cfg.nonlinearity, cfg.neg_slope)
+    else:
+        gain = cfg.init_gain
+    if cfg.init_type == "normal":
+        std = 0.02 if cfg.gain_from_nonlinearity else cfg.init_gain
+        return std * jax.random.normal(key, shape, jnp.float32)
+    if cfg.init_type == "xavier":
+        fan_in, fan_out = _fans(shape)
+        std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+        return std * jax.random.normal(key, shape, jnp.float32)
+    if cfg.init_type == "kaiming":
+        fan_in, _ = _fans(shape)
+        std = math.sqrt(2.0) / math.sqrt(fan_in)  # a=0, fan_in, leaky_relu gain
+        return std * jax.random.normal(key, shape, jnp.float32)
+    if cfg.init_type == "orthogonal":
+        rows = shape[0]
+        cols = int(np.prod(shape[1:]))
+        flat = jax.random.normal(key, (max(rows, cols), min(rows, cols)), jnp.float32)
+        q, r = jnp.linalg.qr(flat)
+        q = q * jnp.sign(jnp.diagonal(r))[None, :]
+        if rows < cols:
+            q = q.T
+        return (gain * q[:rows, :cols]).reshape(shape)
+    raise NotImplementedError(f"init {cfg.init_type}")
+
+
+# ---------------------------------------------------------------------------
+# Layer base
+# ---------------------------------------------------------------------------
+
+
+class Layer:
+    def init(self, key, prefix: str, cfg: InitCfg) -> Dict[str, jax.Array]:
+        return {}
+
+    def apply(self, params, x, prefix: str, ctx: Ctx):
+        raise NotImplementedError
+
+
+class Identity(Layer):
+    def apply(self, params, x, prefix, ctx):
+        return x
+
+
+class Sequential(Layer):
+    """Children keyed by their torch Sequential index: ``<prefix><i>.<param>``."""
+
+    def __init__(self, layers: Sequence[Layer]):
+        self.layers = list(layers)
+
+    def init(self, key, prefix, cfg):
+        params = {}
+        keys = jax.random.split(key, max(len(self.layers), 1))
+        for i, (lyr, k) in enumerate(zip(self.layers, keys)):
+            params.update(lyr.init(k, f"{prefix}{i}.", cfg))
+        return params
+
+    def apply(self, params, x, prefix, ctx):
+        for i, lyr in enumerate(self.layers):
+            x = lyr.apply(params, x, f"{prefix}{i}.", ctx)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+_PAD_MODE = {"zeros": None, "reflect": "reflect", "replicate": "edge"}
+
+
+class Conv2d(Layer):
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0, bias=True,
+                 padding_mode="zeros", dilation=1):
+        self.in_ch, self.out_ch = in_ch, out_ch
+        self.k = kernel_size
+        self.stride = stride
+        self.padding = padding
+        self.bias = bias
+        self.padding_mode = padding_mode
+        self.dilation = dilation
+
+    def init(self, key, prefix, cfg):
+        kw, kb = jax.random.split(key)
+        p = {prefix + "weight": init_weight(kw, (self.out_ch, self.in_ch, self.k, self.k), cfg)}
+        if self.bias:
+            p[prefix + "bias"] = jnp.zeros((self.out_ch,), jnp.float32)
+        return p
+
+    def apply(self, params, x, prefix, ctx):
+        w = params[prefix + "weight"].astype(ctx.dtype)
+        x = x.astype(ctx.dtype)
+        pad = self.padding
+        if pad and self.padding_mode != "zeros":
+            mode = _PAD_MODE[self.padding_mode]
+            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode=mode)
+            conv_pad = ((0, 0), (0, 0))
+        else:
+            conv_pad = ((pad, pad), (pad, pad))
+        out = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(self.stride, self.stride),
+            padding=conv_pad,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(ctx.dtype)
+        if self.bias:
+            out = out + params[prefix + "bias"].astype(ctx.dtype)
+        return out
+
+
+class ConvTranspose2d(Layer):
+    """torch ConvTranspose2d via lhs-dilated convolution (weight IOHW)."""
+
+    def __init__(self, in_ch, out_ch, kernel_size, stride=2, padding=1,
+                 output_padding=0, bias=True):
+        self.in_ch, self.out_ch = in_ch, out_ch
+        self.k = kernel_size
+        self.stride = stride
+        self.padding = padding
+        self.output_padding = output_padding
+        self.bias = bias
+
+    def init(self, key, prefix, cfg):
+        kw, kb = jax.random.split(key)
+        p = {prefix + "weight": init_weight(kw, (self.in_ch, self.out_ch, self.k, self.k), cfg)}
+        if self.bias:
+            p[prefix + "bias"] = jnp.zeros((self.out_ch,), jnp.float32)
+        return p
+
+    def apply(self, params, x, prefix, ctx):
+        w = params[prefix + "weight"].astype(ctx.dtype)
+        # (I, O, kh, kw) -> flipped (O, I, kh, kw): transposed conv is the
+        # gradient of conv == conv with spatially-flipped, channel-swapped kernel.
+        w = jnp.flip(jnp.swapaxes(w, 0, 1), axis=(2, 3))
+        lo = self.k - 1 - self.padding
+        hi = self.k - 1 - self.padding + self.output_padding
+        out = jax.lax.conv_general_dilated(
+            x.astype(ctx.dtype), w,
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(ctx.dtype)
+        if self.bias:
+            out = out + params[prefix + "bias"].astype(ctx.dtype)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+class InstanceNorm2d(Layer):
+    """affine=False, track_running_stats=False (models/networks.py:30)."""
+
+    def __init__(self, num_features, eps=1e-5):
+        self.eps = eps
+
+    def apply(self, params, x, prefix, ctx):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        return ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(ctx.dtype)
+
+
+class GroupNorm(Layer):
+    """GroupNorm; translation lineage uses num_groups=8, affine=True
+    (models/translation_network.py:46)."""
+
+    def __init__(self, num_groups, num_channels, affine=True, eps=1e-5):
+        self.g = num_groups
+        self.c = num_channels
+        self.affine = affine
+        self.eps = eps
+
+    def init(self, key, prefix, cfg):
+        if not self.affine:
+            return {}
+        k1, _ = jax.random.split(key)
+        # reference init_weights: norm affine weight ~ N(1, 0.02), bias 0
+        # (models/translation_network.py:111-113)
+        w = 1.0 + 0.02 * jax.random.normal(k1, (self.c,), jnp.float32)
+        return {prefix + "weight": w, prefix + "bias": jnp.zeros((self.c,), jnp.float32)}
+
+    def apply(self, params, x, prefix, ctx):
+        b, h, w_, c = x.shape
+        x32 = x.astype(jnp.float32).reshape(b, h, w_, self.g, c // self.g)
+        mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2, 4), keepdims=True)
+        x32 = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        x32 = x32.reshape(b, h, w_, c)
+        if self.affine:
+            x32 = x32 * params[prefix + "weight"] + params[prefix + "bias"]
+        return x32.astype(ctx.dtype)
+
+
+class BatchNorm2d(Layer):
+    """affine=True, track_running_stats=True (models/networks.py:28).
+
+    Running stats live in the param dict (non-trainable keys; the trainer
+    filters ``running_`` / ``num_batches`` keys out of the optimizer). In
+    functional style the running-stat update is returned via ctx-free apply:
+    train-mode uses batch stats; stat updates are handled by the model's
+    train step through `batch_stats_updates` when needed. The reference's
+    shipped configs use instance/group norm, so BatchNorm is provided for CLI
+    completeness (``--norm batch``).
+    """
+
+    def __init__(self, num_features, eps=1e-5, momentum=0.1):
+        self.c = num_features
+        self.eps = eps
+        self.momentum = momentum
+
+    def init(self, key, prefix, cfg):
+        k1, _ = jax.random.split(key)
+        return {
+            prefix + "weight": 1.0 + cfg.init_gain * jax.random.normal(k1, (self.c,), jnp.float32),
+            prefix + "bias": jnp.zeros((self.c,), jnp.float32),
+            prefix + "running_mean": jnp.zeros((self.c,), jnp.float32),
+            prefix + "running_var": jnp.ones((self.c,), jnp.float32),
+        }
+
+    def apply(self, params, x, prefix, ctx):
+        x32 = x.astype(jnp.float32)
+        if ctx.train:
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.var(x32, axis=(0, 1, 2))
+        else:
+            mean = params[prefix + "running_mean"]
+            var = params[prefix + "running_var"]
+        out = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        out = out * params[prefix + "weight"] + params[prefix + "bias"]
+        return out.astype(ctx.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Activations / pads / misc
+# ---------------------------------------------------------------------------
+
+
+class ReLU(Layer):
+    def apply(self, params, x, prefix, ctx):
+        return jax.nn.relu(x)
+
+
+class LeakyReLU(Layer):
+    def __init__(self, negative_slope=0.2):
+        self.slope = negative_slope
+
+    def apply(self, params, x, prefix, ctx):
+        return jax.nn.leaky_relu(x, self.slope)
+
+
+class Tanh(Layer):
+    def apply(self, params, x, prefix, ctx):
+        return jnp.tanh(x)
+
+
+class ReflectionPad2d(Layer):
+    def __init__(self, pad):
+        self.pad = pad
+
+    def apply(self, params, x, prefix, ctx):
+        p = self.pad
+        return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+
+
+class ReplicationPad2d(Layer):
+    def __init__(self, pad):
+        self.pad = pad
+
+    def apply(self, params, x, prefix, ctx):
+        p = self.pad
+        return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
+
+
+class Upsample(Layer):
+    """nearest / bilinear upsample by integer scale factor (torch semantics)."""
+
+    def __init__(self, scale_factor=2, mode="nearest", align_corners=False):
+        self.s = int(scale_factor)
+        self.mode = mode
+        self.align_corners = align_corners
+
+    def apply(self, params, x, prefix, ctx):
+        b, h, w, c = x.shape
+        if self.mode == "nearest":
+            return jnp.repeat(jnp.repeat(x, self.s, axis=1), self.s, axis=2)
+        from desr_tpu.ops.resize import resize_bilinear
+
+        return resize_bilinear(x, (h * self.s, w * self.s))
+
+
+class Dropout(Layer):
+    def __init__(self, rate=0.5):
+        self.rate = rate
+
+    def apply(self, params, x, prefix, ctx):
+        if not ctx.train or ctx.rng is None or self.rate == 0.0:
+            return x
+        import zlib
+
+        keep = 1.0 - self.rate
+        rng = jax.random.fold_in(ctx.rng, zlib.crc32(prefix.encode()) % (2 ** 31))
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Norm-layer factory (mirrors get_norm_layer in both reference lineages)
+# ---------------------------------------------------------------------------
+
+
+def get_norm_layer(norm_type, lineage="pix2pix"):
+    """Return (factory(ch) -> Layer, use_bias_for_convs).
+
+    pix2pix lineage (models/networks.py:18-37): batch | instance(no affine) |
+    group(affine=False) | none; convs use bias only with instance norm.
+    translation lineage (models/translation_network.py:34-53): group =
+    GroupNorm(8, affine=True); use_bias = (norm == 'instance').
+    """
+    if norm_type == "batch":
+        return (lambda ch: BatchNorm2d(ch)), False
+    if norm_type == "instance":
+        return (lambda ch: InstanceNorm2d(ch)), True
+    if norm_type == "group":
+        if lineage == "translation":
+            return (lambda ch: GroupNorm(8, ch, affine=True)), False
+        return (lambda ch: GroupNorm(8, ch, affine=False)), False
+    if norm_type == "none":
+        return (lambda ch: Identity()), True
+    raise NotImplementedError(f"norm layer {norm_type}")
+
+
+# ---------------------------------------------------------------------------
+# Spectral norm wrapper (translation discriminators, --use_spnorm)
+# ---------------------------------------------------------------------------
+
+
+class SpectralNormConv2d(Conv2d):
+    """Conv2d with spectral weight normalization.
+
+    Mirrors torch.nn.utils.spectral_norm applied post-hoc
+    (models/translation_network.py:721-733). State_dict keys become
+    ``weight_orig`` / ``weight_u`` / ``weight_v``. The power-iteration vector u
+    is stored in params (non-trainable); apply() runs `n_iters` fresh power
+    iterations from the stored u under stop_gradient. Deviation (documented):
+    torch persists the updated u after every forward; we re-estimate from the
+    checkpointed u at each call with extra iterations, which converges to the
+    same sigma.
+    """
+
+    n_iters = 3
+
+    def init(self, key, prefix, cfg):
+        p = super().init(key, prefix, cfg)
+        w = p.pop(prefix + "weight")
+        rows = w.shape[0]
+        cols = int(np.prod(w.shape[1:]))
+        ku, kv = jax.random.split(jax.random.fold_in(key, 7))
+        u = jax.random.normal(ku, (rows,), jnp.float32)
+        v = jax.random.normal(kv, (cols,), jnp.float32)
+        p[prefix + "weight_orig"] = w
+        p[prefix + "weight_u"] = u / jnp.linalg.norm(u)
+        p[prefix + "weight_v"] = v / jnp.linalg.norm(v)
+        return p
+
+    def apply(self, params, x, prefix, ctx):
+        w = params[prefix + "weight_orig"]
+        rows = w.shape[0]
+        wm = w.reshape(rows, -1)
+        u = params[prefix + "weight_u"]
+        for _ in range(self.n_iters):
+            v = wm.T @ u
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+            u = wm @ v
+            u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = u @ (wm @ v)
+        w_sn = (w / sigma).astype(jnp.float32)
+        sub = dict(params)
+        sub[prefix + "weight"] = w_sn
+        return Conv2d.apply(self, sub, x, prefix, ctx)

@@ -1,0 +1,153 @@
+"""Surface-normal operators (NHWC).
+
+Three normal estimators exist in the reference and all are reproduced:
+
+1. ``surface_normals``        — image-space normals from np.gradient-style
+                                central differences (models/norms.py:180-235,
+                                duplicated in models/I2D_model.py:9-64).
+2. ``surface_normals_fov``    — fixed-60°-FOV camera-grid normals used by the
+                                translation stage (models/translation_network.py:329-360).
+3. ``surface_normals_from_K`` — intrinsics-based normals from a K-unprojected
+                                point cloud (models/norms.py:6-158,
+                                ``SurfaceNormals_new``). The reference runs
+                                this in float64; on TPU we default to float32
+                                (validated against the float64 oracle in
+                                tests/test_normals.py) and accept a `dtype`
+                                argument so CPU tests can run exact float64.
+
+Depth maps are (B, H, W, 1); normals are (B, H, W, 3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def np_gradient(f, axis):
+    """np.gradient with unit spacing along `axis`.
+
+    2nd-order central differences in the interior, 1st-order at the edges —
+    exactly models/norms.py:192-235.
+    """
+    f = jnp.moveaxis(f, axis, 0)
+    interior = (f[2:] - f[:-2]) / 2.0
+    first = (f[1] - f[0])[None]
+    last = (f[-1] - f[-2])[None]
+    out = jnp.concatenate([first, interior, last], axis=0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def surface_normals(depth, eps=1e-6):
+    """Image-space normals: normalize([-dD/drow, -dD/dcol, 1]).
+
+    Reference: models/norms.py:180-190 (`dzdx` = gradient over torch axis 2 =
+    rows, `dzdy` = axis 3 = cols; channel order [dzdx, dzdy, 1]).
+    """
+    d = depth[..., 0]
+    dzdx = -np_gradient(d, axis=1)  # rows (H)
+    dzdy = -np_gradient(d, axis=2)  # cols (W)
+    ones = jnp.ones_like(d)
+    n = jnp.stack([dzdx, dzdy, ones], axis=-1)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / (norm + eps)
+
+
+def _fov_grid(h, w, fov_deg, dtype):
+    """The fixed camera grid of translation_network.py:338-342."""
+    t = math.tan(fov_deg / 2.0 / 180.0 * math.pi)
+    x = (jnp.arange(1, w + 1, dtype=dtype) - (w + 1) / 2.0) / (w / 2.0) * t
+    y = -(jnp.arange(1, h + 1, dtype=dtype) - (h + 1) / 2.0) / (h / 2.0) * t * (h / w)
+    gx = jnp.broadcast_to(x[None, :], (h, w))
+    gy = jnp.broadcast_to(y[:, None], (h, w))
+    ones = jnp.ones((h, w), dtype=dtype)
+    return jnp.stack([gx, gy, ones], axis=-1)  # (H, W, 3)
+
+
+def surface_normals_fov(depth, fov_deg=60.0, canvas_hw=(482, 642), eps=1e-8):
+    """Fixed-FOV surface normals of the translation stage.
+
+    Reference: models/translation_network.py:329-360. Reproduces the as-shipped
+    quirks exactly: the crop into the 482x642 canvas uses offset ``p + 1`` (one
+    past center), and the horizontal/vertical difference windows are offset by
+    one row / one column respectively (``narrow(2, 0, h)`` on the padded
+    tensor). These normals feed the normal discriminators, so weight parity
+    requires bit-level structural parity here.
+    """
+    b, h, w, _ = depth.shape
+    ch, cw = canvas_hw
+    grid = _fov_grid(ch, cw, fov_deg, depth.dtype)
+    ph = (ch - h) // 2
+    pw = (cw - w) // 2
+    grid = grid[ph + 1 : ph + 1 + h, pw + 1 : pw + 1 + w, :]
+
+    v = depth * grid[None]  # (B, H, W, 3)
+    pv = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    # gx: cols [0:w] - cols [2:w+2], rows [0:h] of the padded tensor.
+    gx = (pv[:, 0:h, 0:w, :] - pv[:, 0:h, 2 : 2 + w, :]) / 2.0
+    # gy: rows [2:h+2] - rows [0:h], cols [0:w] of the padded tensor.
+    gy = (pv[:, 2 : 2 + h, 0:w, :] - pv[:, 0:h, 0:w, :]) / 2.0
+    crs = jnp.cross(gx, gy, axis=-1)
+    norm = jnp.linalg.norm(crs, axis=-1, keepdims=True)
+    return -crs / jnp.maximum(norm, eps)
+
+
+def depth_to_points(depth01, K, crop, shift=0.5):
+    """Unproject orthogonal depth into camera-space points.
+
+    depth01: (B, H, W, 1) depth in [0, 1]; K: (B, 3, 3); crop: (B, 4) rows
+    [h0, h1, w0, w1] in pixels. Returns (B, H, W, 3).
+    Reference: models/norms.py:75-101 (``batch_pc``).
+    """
+    b, h, w, _ = depth01.shape
+    dtype = depth01.dtype
+    K = K.astype(dtype)
+    crop = crop.astype(dtype)
+    # Per-sample pixel grids: v over rows crop[:,0]..crop[:,1], u over cols.
+    v = crop[:, 0:1] + jnp.arange(h, dtype=dtype)[None, :] + shift  # (B, H)
+    u = crop[:, 2:3] + jnp.arange(w, dtype=dtype)[None, :] + shift  # (B, W)
+    vv = jnp.broadcast_to(v[:, :, None], (b, h, w))
+    uu = jnp.broadcast_to(u[:, None, :], (b, h, w))
+    ones = jnp.ones_like(vv)
+    pix = jnp.stack([uu, vv, ones], axis=-1)  # (B, H, W, 3)
+    Kinv = jnp.linalg.inv(K)
+    pts = jnp.einsum("blk,bhwk->bhwl", Kinv, pix)
+    pts = pts / pts[..., 2:3]  # orthogonal depth convention
+    return pts * depth01
+
+
+def points_to_normals(coords, eps=None):
+    """First-order normals of a point cloud via np.gradient, L2-normalized.
+
+    coords: (B, H, W, 3). Reference: models/norms.py:29-73 (order2=True path).
+    Normalization matches torch.nn.functional.normalize (x / max(||x||, 1e-12)).
+    """
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    dxdu = np_gradient(x, axis=2)
+    dydu = np_gradient(y, axis=2)
+    dzdu = np_gradient(z, axis=2)
+    dxdv = np_gradient(x, axis=1)
+    dydv = np_gradient(y, axis=1)
+    dzdv = np_gradient(z, axis=1)
+    n_x = dydv * dzdu - dydu * dzdv
+    n_y = dzdv * dxdu - dzdu * dxdv
+    n_z = dxdv * dydu - dxdu * dydv
+    n = jnp.stack([n_x, n_y, n_z], axis=-1)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    if eps is None:
+        eps = jnp.asarray(1e-12, n.dtype)
+    return n / jnp.maximum(norm, eps)
+
+
+def surface_normals_from_K(depth, K, crop, shift=0.5, dtype=jnp.float32):
+    """Intrinsics-based surface normals (``SurfaceNormals_new``).
+
+    depth: (B, H, W, 1) in [-1, 1]; converted internally to [0, 1]
+    (models/norms.py:103-108). The reference requires float64; here `dtype`
+    defaults to float32 for TPU speed — tests validate fp32 vs the fp64 oracle
+    to < 2e-3 max normal-component error on realistic depth ranges.
+    """
+    d = (depth.astype(dtype) + 1.0) / 2.0
+    pts = depth_to_points(d, K, crop, shift=shift)
+    return points_to_normals(pts).astype(jnp.float32)

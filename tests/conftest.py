@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-virtual-device CPU mesh.
+
+This is the TPU-native analog of "test multi-node without a cluster" (see
+SURVEY.md §4): sharding/pjit tests run against 8 virtual CPU devices so the
+data-parallel code paths compile and execute without TPU hardware.
+"""
+
+import os
+import sys
+
+# Must happen before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
