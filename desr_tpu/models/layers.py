@@ -306,6 +306,7 @@ class BatchNorm2d(Layer):
             prefix + "bias": jnp.zeros((self.c,), jnp.float32),
             prefix + "running_mean": jnp.zeros((self.c,), jnp.float32),
             prefix + "running_var": jnp.ones((self.c,), jnp.float32),
+            prefix + "num_batches_tracked": jnp.zeros((), jnp.int32),
         }
 
     def apply(self, params, x, prefix, ctx):
