@@ -1,0 +1,158 @@
+"""BaseModel: the trainer-facing contract shared by all four stage models.
+
+Mirrors the reference's BaseModel surface (models/base_model.py:8-268):
+``set_input`` / ``optimize_parameters`` / ``calculate`` / ``setup`` /
+``save_networks`` / ``load_networks`` / ``get_current_losses`` /
+``get_current_visuals`` / ``update_learning_rate`` / ``print_networks`` /
+``eval`` / ``_train`` — but the implementation is functional JAX: each model
+compiles ONE jitted, data-parallel train step (and one eval step) over a
+``jax.sharding.Mesh``; parameters are flat torch-keyed dicts per net; there is
+no reflection over ``loss_<name>`` attributes — steps return a metrics dict.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from desr_tpu import checkpoints as ckpt
+from desr_tpu.ops.optim import lr_schedule
+from desr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+NON_TRAINABLE_MARKERS = ("running_mean", "running_var", "num_batches_tracked",
+                         "weight_u", "weight_v")
+
+
+def split_trainable(params: Dict[str, jnp.ndarray]):
+    """Split a flat net-param dict into (trainable, aux/non-trainable)."""
+    train, aux = {}, {}
+    for k, v in params.items():
+        (aux if k.endswith(NON_TRAINABLE_MARKERS) else train)[k] = v
+    return train, aux
+
+
+class BaseModel:
+    def __init__(self, opt):
+        self.opt = opt
+        self.isTrain = getattr(opt, "isTrain", True)
+        self.model_names = []
+        self.loss_names = []
+        self.visual_names = []
+        self.nets = {}
+        self.params = {}
+        self.metrics = {}
+        self.visuals = {}
+        self.mesh = make_mesh()
+        dt = getattr(opt, "compute_dtype", "bfloat16")
+        self.compute_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                              "float32": jnp.float32, "f32": jnp.float32}[dt]
+        self.lr = getattr(opt, "lr", 2e-4)
+        self._batch = None
+        self._rng = jax.random.PRNGKey(getattr(opt, "seed", 0))
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def init_params(self, seed=0):
+        key = jax.random.PRNGKey(seed)
+        for i, name in enumerate(self.model_names):
+            self.params[name] = self.nets[name].init(jax.random.fold_in(key, i))
+
+    def setup(self, opt=None):
+        """Init + (maybe) restore, mirroring base_model.py:78-89."""
+        opt = opt or self.opt
+        self.init_params(getattr(opt, "seed", 0))
+        if not self.isTrain or getattr(opt, "continue_train", False):
+            load_iter = getattr(opt, "load_iter", 0)
+            suffix = f"iter_{load_iter}" if load_iter > 0 else getattr(opt, "epoch", "latest")
+            self.load_networks(suffix)
+        self.params = {k: replicate(v, self.mesh) for k, v in self.params.items()}
+        self._post_setup()
+        self.print_networks(getattr(opt, "verbose", False))
+
+    def _post_setup(self):
+        """Hook for models to build optimizer state after params exist."""
+
+    # -- checkpoints ---------------------------------------------------------
+
+    def save_dir(self):
+        return os.path.join(self.opt.checkpoints_dir, self.opt.name)
+
+    def save_networks(self, epoch):
+        ckpt.save_networks(self.params, self.opt.checkpoints_dir, self.opt.name, epoch)
+
+    def load_networks(self, epoch):
+        self.params = ckpt.load_networks(self.params, self.opt.checkpoints_dir,
+                                         self.opt.name, epoch)
+
+    # -- train/eval mode (API parity; our eval steps are separate functions) --
+
+    def eval(self):
+        self._train_mode = False
+
+    def _train(self):
+        self._train_mode = True
+
+    # -- metrics -------------------------------------------------------------
+
+    def next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def get_current_losses(self):
+        return {k: float(v) for k, v in self.metrics.items() if k in self.loss_names}
+
+    def get_all_metrics(self):
+        return {k: float(v) for k, v in self.metrics.items()}
+
+    def get_current_visuals(self):
+        return {k: np.asarray(v) for k, v in self.visuals.items()}
+
+    def compute_visuals(self):
+        pass
+
+    def update_learning_rate(self, epoch=None, metric=None):
+        opt = self.opt
+        epoch = epoch if epoch is not None else getattr(self, "_epoch", 1)
+        policy = getattr(opt, "lr_policy", "linear")
+        if policy == "plateau":
+            # handled host-side: x0.2 when metric stalls; trainer feeds metric
+            if metric is not None:
+                self._plateau_history = getattr(self, "_plateau_history", [])
+                self._plateau_history.append(metric)
+                h = self._plateau_history
+                if len(h) > 6 and min(h[-6:]) > min(h[:-6]) * 0.99:
+                    self.lr *= 0.2
+                    self._plateau_history = []
+            return self.lr
+        self.lr = lr_schedule(policy, epoch, opt.lr, opt.n_epochs, opt.n_epochs_decay,
+                              epoch_count=getattr(opt, "epoch_count", 1),
+                              lr_decay_iters=getattr(opt, "lr_decay_iters", 50))
+        return self.lr
+
+    def print_networks(self, verbose=False):
+        print("---------- Networks initialized -------------")
+        for name in self.model_names:
+            n = sum(int(v.size) for v in self.params.get(name, {}).values())
+            if verbose:
+                for k, v in self.params[name].items():
+                    print(f"  {k}: {tuple(v.shape)}")
+            print(f"[Network {name}] Total number of parameters : {n / 1e6:.3f} M")
+        print("-----------------------------------------------")
+
+    # -- batch plumbing --------------------------------------------------------
+
+    def shard(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    def set_input(self, batch):
+        raise NotImplementedError
+
+    def optimize_parameters(self, iters, fr=1):
+        raise NotImplementedError
+
+    def calculate(self, stage="test"):
+        raise NotImplementedError

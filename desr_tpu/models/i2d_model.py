@@ -1,0 +1,219 @@
+"""Stage 1 — Image Guidance Network (I2D): depth from RGB alone.
+
+Reference: models/I2D_model.py. Two nets:
+- ``Image_f``: RGB feature extractor, ResNet-6-blocks generator (:112-113)
+- ``Task``:   depth-regression U-Net on those features (:124-125)
+
+Trained supervised with masked L1 (mask = depth > -0.97) on both domains
+(:219-226). As-shipped quirks preserved:
+- the optimizer covers ONLY ``Task`` parameters (I2D_model.py:143) —
+  ``Image_f`` stays at its initialization unless ``--i2d_train_features`` is
+  passed (our opt-in extension);
+- with ``--norm_loss`` the normal-consistency L1 is computed and reported but
+  NOT added to the total loss (:217 vs :226);
+- optional feature discriminator (``--use_D``): the reference's netD_depth
+  definition is commented out (:120-122) so the flag crashes there; here it is
+  functional — a PatchGAN on the feature maps with an ImagePool replay buffer
+  and the reference's throttled update schedule (:244-250).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from desr_tpu.models import networks
+from desr_tpu.models.base_model import BaseModel, split_trainable
+from desr_tpu.models.layers import Ctx
+from desr_tpu.ops import losses as L
+from desr_tpu.ops import normals as NRM
+from desr_tpu.ops.optim import adam_init, adam_update
+from desr_tpu.utils.image_pool import ImagePool
+
+
+class I2DModel(BaseModel):
+    @staticmethod
+    def modify_commandline_options(parser, is_train=True):
+        # reference I2D_model.py:68-77
+        parser.set_defaults(no_dropout=True)
+        if is_train:
+            parser.add_argument("--lambda_A", type=float, default=10.0)
+            parser.add_argument("--lambda_B", type=float, default=10.0)
+            parser.add_argument("--lambda_identity", type=float, default=0.5)
+        return parser
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.loss_names = ["task_syn", "task_real"]
+        if opt.norm_loss:
+            self.loss_names += ["syn_norms"]
+        if opt.use_D:
+            self.loss_names += ["G_pred", "D_depth", "G_pred_r"]
+        self.visual_names = ["syn_image", "syn_depth", "pred_syn_depth",
+                             "real_image", "real_depth", "pred_real_depth"]
+        self.model_names = ["Image_f", "Task"]
+
+        self.nets["Image_f"] = networks.define_G(
+            3, opt.Imagef_outf, opt.Imagef_basef, opt.Imagef_type, opt.norm,
+            not opt.no_dropout, opt.init_type, opt.init_gain,
+            opt.replace_transpose, n_down=opt.Imagef_ndown)
+        self.nets["Task"] = networks.define_G(
+            opt.Imagef_outf, 1, opt.Task_basef, opt.Task_type, opt.norm,
+            not opt.no_dropout, opt.init_type, opt.init_gain,
+            opt.replace_transpose, n_down=opt.Task_ndown)
+        if opt.use_D:
+            self.model_names += ["D_depth"]
+            self.nets["D_depth"] = networks.define_D(
+                opt.Imagef_outf, opt.ndf, opt.netD, opt.n_layers_D, opt.norm,
+                opt.init_type, opt.init_gain)
+            self.fake_depth_pool = ImagePool(opt.pool_size)
+
+        self._g_trainable_nets = ["Task"] + (
+            ["Image_f"] if getattr(opt, "i2d_train_features", False) else [])
+
+    # -- steps ---------------------------------------------------------------
+
+    def _post_setup(self):
+        opt = self.opt
+        dtype = self.compute_dtype
+        image_f, task = self.nets["Image_f"], self.nets["Task"]
+        g_nets = list(self._g_trainable_nets)
+
+        def forward(params, batch, rng, train):
+            ctx = Ctx(train=train, rng=rng, dtype=dtype)
+            feats_syn = image_f.apply(params["Image_f"], batch["A_i"].astype(dtype), ctx)
+            feats_real = image_f.apply(params["Image_f"], batch["B_i"].astype(dtype), ctx)
+            pred_syn = task.apply(params["Task"], feats_syn, ctx).astype(jnp.float32)
+            pred_real = task.apply(params["Task"], feats_real, ctx).astype(jnp.float32)
+            return feats_syn, feats_real, pred_syn, pred_real
+
+        def losses(params, batch, rng, train):
+            feats_syn, feats_real, pred_syn, pred_real = forward(params, batch, rng, train)
+            syn_d, real_d = batch["A_d"], batch["B_d"]
+            mask_syn = jnp.where(syn_d < -0.97, 0.0, 1.0)
+            mask_real = jnp.where(real_d < -0.97, 0.0, 1.0)
+            m = {}
+            m["task_syn"] = L.l1_loss(syn_d * mask_syn, pred_syn * mask_syn)
+            m["task_real"] = L.l1_loss(real_d * mask_real, pred_real * mask_real)
+            if opt.norm_loss:
+                # metric-only in the reference (I2D_model.py:217 vs :226)
+                m["syn_norms"] = L.l1_loss(NRM.surface_normals(syn_d),
+                                           NRM.surface_normals(pred_syn))
+            loss_g = (m["task_syn"] * opt.w_syn_l1 + m["task_real"] * opt.w_real_l1)
+            loss_g = loss_g * opt.scale_G
+            m["G"] = loss_g
+            vis = dict(syn_image=batch["A_i"], syn_depth=syn_d, pred_syn_depth=pred_syn,
+                       real_image=batch["B_i"], real_depth=real_d,
+                       pred_real_depth=pred_real, features_syn=feats_syn,
+                       features_real=feats_real)
+            return loss_g, (m, vis)
+
+        def train_step(params, opt_state, batch, rng, lr):
+            trains, auxs = {}, {}
+            for n in self.model_names:
+                trains[n], auxs[n] = split_trainable(params[n])
+            g_train = {n: trains[n] for n in g_nets}
+
+            def loss_fn(g_train_params):
+                full = {n: dict(trains[n], **auxs[n]) for n in self.model_names}
+                for n in g_nets:
+                    full[n] = dict(g_train_params[n], **auxs[n])
+                return losses(full, batch, rng, True)
+
+            (loss_g, (m, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_train)
+            new_g, new_opt = adam_update(grads, opt_state, g_train, lr,
+                                         b1=0.9, b2=0.999)  # torch Adam defaults (I2D_model.py:143)
+            new_params = dict(params)
+            for n in g_nets:
+                new_params[n] = dict(new_g[n], **auxs[n])
+            return new_params, new_opt, m
+
+        def eval_step(params, batch, rng):
+            loss_g, (m, vis) = losses(params, batch, rng, False)
+            return m, vis
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+        if opt.use_D and self.isTrain:
+            d_net = self.nets["D_depth"]
+
+            def d_step(d_params, d_opt_state, feats_syn, fake_pool, lr):
+                d_train, d_aux = split_trainable(d_params)
+
+                def loss_fn(dt):
+                    full = dict(dt, **d_aux)
+                    ctx = Ctx(train=True, dtype=dtype)
+                    pred_real = d_net.apply(full, feats_syn, ctx).astype(jnp.float32)
+                    pred_fake = d_net.apply(full, fake_pool, ctx).astype(jnp.float32)
+                    return 0.5 * (L.gan_loss(pred_real, True, opt.gan_mode)
+                                  + L.gan_loss(pred_fake, False, opt.gan_mode))
+
+                loss_d, grads = jax.value_and_grad(loss_fn)(d_train)
+                new_d, new_opt = adam_update(grads, d_opt_state, d_train, lr,
+                                             b1=opt.beta1, b2=0.999)
+                return dict(new_d, **d_aux), new_opt, loss_d
+
+            def g_pred_metrics(d_params, feats_real, feats_syn):
+                ctx = Ctx(train=False, dtype=dtype)
+                pr = d_net.apply(d_params, feats_real, ctx).astype(jnp.float32)
+                ps = d_net.apply(d_params, feats_syn, ctx).astype(jnp.float32)
+                return (L.gan_loss(pr, True, opt.gan_mode),
+                        L.gan_loss(ps, True, opt.gan_mode))
+
+            self._d_step = jax.jit(d_step, donate_argnums=(0, 1))
+            self._g_pred_metrics = jax.jit(g_pred_metrics)
+            self.opt_state_D = adam_init(split_trainable(self.params["D_depth"])[0])
+
+        g_train = {n: split_trainable(self.params[n])[0] for n in g_nets}
+        self.opt_state_G = adam_init(g_train)
+
+    # -- reference-API entry points -------------------------------------------
+
+    def set_input(self, batch):
+        self._batch = self.shard({
+            "A_i": batch["A_i"], "B_i": batch["B_i"],
+            "A_d": batch["A_d"], "B_d": batch["B_d"],
+        })
+        self._paths = {"A_paths": batch.get("A_paths"), "B_paths": batch.get("B_paths")}
+
+    def optimize_parameters(self, iters, fr=700):
+        rng = self.next_rng()
+        self.params, self.opt_state_G, m = self._train_step(
+            self.params, self.opt_state_G, self._batch, rng, jnp.float32(self.lr))
+        self.metrics = m
+        if self.opt.use_D:
+            _, vis = self._eval_step(self.params, self._batch, rng)
+            fr_iters = fr * self.opt.batch_size
+            if (iters % fr_iters == 0) or (iters < 800):
+                fake = self.fake_depth_pool.query(np.asarray(vis["features_real"]))
+                self.params["D_depth"], self.opt_state_D, loss_d = self._d_step(
+                    self.params["D_depth"], self.opt_state_D,
+                    vis["features_syn"], jnp.asarray(fake), jnp.float32(self.lr))
+                self.metrics["D_depth"] = loss_d
+            gp, gpr = self._g_pred_metrics(self.params["D_depth"],
+                                           vis["features_real"], vis["features_syn"])
+            self.metrics["G_pred"], self.metrics["G_pred_r"] = gp, gpr
+
+    def calculate(self, stage="test"):
+        rng = self.next_rng()
+        m, vis = self._eval_step(self.params, self._batch, rng)
+        self.metrics = m
+        self.visuals = {k: vis[k] for k in self.visual_names if k in vis}
+        if getattr(self.opt, "save_all", False) and stage == "test":
+            self._dump_predictions(vis)
+
+    def _dump_predictions(self, vis):
+        """uint16 PNG dump, [:, 16:-16, :] row crop x5100 (I2D_model.py:170-181)."""
+        from desr_tpu.utils.util import save_uint16_png
+        import os
+
+        os.makedirs(self.opt.save_image_folder, exist_ok=True)
+        pred = np.asarray(vis["pred_real_depth"])
+        for i, path in enumerate(self._paths["B_paths"] or []):
+            stem = str(path).split("/")[-1].split(".")[0]
+            out = np.clip((pred[i, 16:-16, :, 0] + 1) / 2, 0, 1)
+            save_uint16_png(out, os.path.join(self.opt.save_image_folder, f"{stem}.png"))

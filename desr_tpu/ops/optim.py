@@ -27,8 +27,10 @@ class AdamState(NamedTuple):
 
 
 def adam_init(params):
-    zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
-    return AdamState(step=jnp.zeros((), jnp.int32), m=zeros, v=zeros)
+    # m and v must be distinct buffers (donation would alias them otherwise)
+    m = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+    v = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+    return AdamState(step=jnp.zeros((), jnp.int32), m=m, v=v)
 
 
 def adam_update(grads, state, params, lr, b1=0.5, b2=0.999, eps=1e-8, weight_decay=0.0):

@@ -1,0 +1,114 @@
+"""Options system: the reference's CLI flag surface, preserved.
+
+The README commands of the reference are its de-facto public API; this parser
+accepts the same flags with the same defaults (reference: options/base_options.py
+:22-59 and options/train_options.py:13-164), plus TPU-specific extensions
+(``--compute_dtype``, ``--seed``, ``--i2d_train_features``, ``--num_devices``).
+
+Dynamic per-model flag injection (base_options.py:63-90) is reproduced via
+``modify_commandline_options`` hooks on the model registry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+class BaseOptions:
+    def __init__(self):
+        self.initialized = False
+        self.isTrain = False
+
+    def initialize(self, parser):
+        # basic parameters (reference base_options.py:22-59)
+        parser.add_argument("--dataroot", default="./")
+        parser.add_argument("--name", type=str, default="experiment_name")
+        parser.add_argument("--gpu_ids", type=str, default="0",
+                            help="kept for CLI compat; device selection is via jax")
+        parser.add_argument("--model_type", type=str, default="I2D",
+                            help="[I2D | main | translation]")
+        parser.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
+        parser.add_argument("--model", type=str, default="cycle_gan",
+                            help="decorative in the reference too (SURVEY §2.12)")
+        parser.add_argument("--input_nc", type=int, default=3)
+        parser.add_argument("--output_nc", type=int, default=3)
+        parser.add_argument("--ngf", type=int, default=64)
+        parser.add_argument("--ndf", type=int, default=64)
+        parser.add_argument("--netD", type=str, default="basic")
+        parser.add_argument("--netG", type=str, default="resnet_9blocks")
+        parser.add_argument("--n_layers_D", type=int, default=3)
+        parser.add_argument("--norm", type=str, default="instance")
+        parser.add_argument("--use_spnorm", action="store_true", default=False)
+        parser.add_argument("--init_type", type=str, default="normal")
+        parser.add_argument("--init_gain", type=float, default=0.02)
+        parser.add_argument("--no_dropout", action="store_true")
+        # dataset parameters
+        parser.add_argument("--dataset_mode", type=str, default="unaligned")
+        parser.add_argument("--direction", type=str, default="AtoB")
+        parser.add_argument("--serial_batches", action="store_true")
+        parser.add_argument("--num_threads", default=4, type=int)
+        parser.add_argument("--batch_size", type=int, default=1)
+        parser.add_argument("--batch_size_val", type=int, default=1)
+        parser.add_argument("--load_size", type=int, default=286)
+        parser.add_argument("--crop_size", type=int, default=256)
+        parser.add_argument("--max_dataset_size", type=int, default=2 ** 31)
+        parser.add_argument("--preprocess", type=str, default="resize_and_crop")
+        parser.add_argument("--no_flip", action="store_true")
+        parser.add_argument("--display_winsize", type=int, default=256)
+        # additional parameters
+        parser.add_argument("--epoch", type=str, default="latest")
+        parser.add_argument("--load_iter", type=int, default=0)
+        parser.add_argument("--verbose", action="store_true")
+        parser.add_argument("--suffix", default="", type=str)
+        # TPU-native extensions
+        parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                            help="bfloat16 | float32 compute precision")
+        parser.add_argument("--seed", type=int, default=0)
+        parser.add_argument("--i2d_train_features", action="store_true",
+                            help="also optimize Image_f in stage 1 (the reference "
+                                 "as-shipped trains only Task, I2D_model.py:143)")
+        parser.add_argument("--num_devices", type=int, default=0,
+                            help="limit the data mesh to the first N devices (0=all)")
+        self.initialized = True
+        return parser
+
+    def gather_options(self, argv=None):
+        if not self.initialized:
+            parser = argparse.ArgumentParser(
+                formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+            parser = self.initialize(parser)
+        opt, _ = parser.parse_known_args(argv)
+        from desr_tpu.models import get_option_setter
+
+        model_option_setter = get_option_setter(opt.model_type)
+        parser = model_option_setter(parser, self.isTrain)
+        self.parser = parser
+        return parser.parse_args(argv)
+
+    def print_options(self, opt):
+        message = "----------------- Options ---------------\n"
+        for k, v in sorted(vars(opt).items()):
+            comment = ""
+            default = self.parser.get_default(k)
+            if v != default:
+                comment = f"\t[default: {default}]"
+            message += "{:>25}: {:<30}{}\n".format(str(k), str(v), comment)
+        message += "----------------- End -------------------"
+        print(message)
+        expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        os.makedirs(expr_dir, exist_ok=True)
+        phase = getattr(opt, "phase", "test")
+        with open(os.path.join(expr_dir, f"{phase}_opt.txt"), "wt") as f:
+            f.write(message + "\n")
+
+    def parse(self, argv=None):
+        opt = self.gather_options(argv)
+        opt.isTrain = self.isTrain
+        if opt.suffix:
+            opt.name = opt.name + "_" + opt.suffix.format(**vars(opt))
+        self.print_options(opt)
+        opt.gpu_ids = [int(s) for s in str(opt.gpu_ids).split(",") if int(s) >= 0] \
+            if isinstance(opt.gpu_ids, str) else opt.gpu_ids
+        self.opt = opt
+        return opt
