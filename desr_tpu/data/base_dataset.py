@@ -1,0 +1,129 @@
+"""Shared dataset machinery for the unpaired folder datasets.
+
+Covers the common skeleton of data/my_I2D_dataset.py, data/my_main_dataset.py
+and data/my_naive_sr_dataset.py (__init__ path handling at :94-147, ``--take``
+subsampling with seed 23 at :118-133, unpaired indexing at :154-160, decode at
+:163-170).
+"""
+
+from __future__ import annotations
+
+import glob
+import itertools
+import os
+
+import numpy as np
+
+from desr_tpu.data.image_folder import make_dataset
+from desr_tpu.data import transforms as T
+
+
+def load_image(path):
+    if str(path).endswith(".png"):
+        from desr_tpu.data import native_io
+
+        arr = native_io.decode_png(path)
+        if arr is not None:
+            return arr.astype(np.uint8) if arr.max(initial=0) <= 255 and arr.ndim == 3 else arr
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    return np.array(Image.open(path))
+
+
+def load_depth_png(path):
+    """uint16 PNG -> int32 array (the reference's int path).
+
+    Uses the native C++ libpng decoder (native/dataio.cpp) when available,
+    falling back to PIL."""
+    from desr_tpu.data import native_io
+
+    arr = native_io.decode_png(path)
+    if arr is None:
+        from PIL import Image, ImageFile
+
+        ImageFile.LOAD_TRUNCATED_IMAGES = True
+        arr = np.array(Image.open(path))
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    if arr.dtype == np.uint16:
+        arr = arr.astype(np.int32)
+    return arr
+
+
+class UnpairedFolderDataset:
+    """Unpaired sampling: B sequential (index % B_size), A uniform random."""
+
+    def __init__(self, opt, stage="train"):
+        self.opt = opt
+        self.stage = stage
+        self.train = stage != "test"
+        self._draw = itertools.count()
+        self.seed = getattr(opt, "seed", 0)
+
+        dir_A = opt.path_A if self.train else opt.path_A_test
+        dir_B = opt.path_B if self.train else opt.path_B_test
+        dir_A_add = opt.A_add_paths if self.train else opt.A_add_paths_test
+        dir_B_add = opt.B_add_paths if self.train else opt.B_add_paths_test
+
+        if getattr(opt, "take", 0) > 0:
+            np.random.seed(23)  # reference: my_main_dataset.py:118-133
+            A = sorted(glob.glob(dir_A + "/*"))
+            B = sorted(glob.glob(dir_B + "/*"))
+            idx_A = np.random.randint(0, len(A) - 1, opt.take)
+            idx_B = np.random.randint(0, len(B) - 1, opt.take)
+            self.A_paths = list(np.array(A)[idx_A])
+            self.B_paths = list(np.array(B)[idx_B])
+            if opt.image_and_depth:
+                A_add = sorted(glob.glob(dir_A_add + "/*"))
+                B_add = sorted(glob.glob(dir_B_add + "/*"))
+                self.A_add_paths = list(np.array(A_add)[idx_A])
+                self.B_add_paths = list(np.array(B_add)[idx_B])
+        else:
+            self.A_paths = sorted(make_dataset(dir_A, opt.max_dataset_size))
+            self.B_paths = sorted(glob.glob(f"{dir_B}/*"))
+            if opt.image_and_depth:
+                self.A_add_paths = sorted(make_dataset(dir_A_add, opt.max_dataset_size))
+                self.B_add_paths = sorted(glob.glob(f"{dir_B_add}/*"))
+        self.A_size = len(self.A_paths)
+        self.B_size = len(self.B_paths)
+        self._K_cache = {}
+
+    def item_rng(self, index):
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, index, next(self._draw)]))
+
+    def pick_indices(self, index, rng):
+        index_B = index % self.B_size
+        index_A = int(rng.integers(0, self.A_size))
+        return index_A, index_B
+
+    def load_depth(self, path, domain):
+        if str(path).endswith(".npy"):
+            return np.load(path).astype(np.float32)
+        if domain == "B" and not self.opt.use_scannet and not str(path).endswith(".png"):
+            return np.load(path).astype(np.float32)
+        return load_depth_png(path)
+
+    def get_intrinsics(self, f_path):
+        """Per-scene 3x3 K, cached (vs the reference's per-item np.loadtxt,
+        my_main_dataset.py:149-152)."""
+        f_name = os.path.basename(str(f_path)).split(".")[0]
+        scene = f_name[:12]
+        if scene not in self._K_cache:
+            p = os.path.join(self.opt.path_to_intr, scene, "intrinsic", "intrinsic_depth.txt")
+            self._K_cache[scene] = np.loadtxt(p)[:3, :3]
+        return self._K_cache[scene]
+
+    def interiornet_K(self):
+        return np.asarray([[600.0, 0, 320], [0, 600, 240], [0, 0, 1]])
+
+    def __len__(self):
+        return min(self.A_size, self.B_size)
+
+
+def normalize_pair(depth, img):
+    """Image + depth normalization (my_main_dataset.py:32-52)."""
+    img = T.normalize_image_np(np.asarray(img))
+    depth = T.normalize_depth_np(np.asarray(depth))
+    return depth, img

@@ -181,13 +181,15 @@ class Conv2d(Layer):
             conv_pad = ((0, 0), (0, 0))
         else:
             conv_pad = ((pad, pad), (pad, pad))
+        # note: no preferred_element_type — TPU MXU accumulates bf16 convs in
+        # f32 natively, and an explicit f32 accumulation dtype breaks the VJP
+        # (f32 cotangent vs bf16 weight dtype mismatch)
         out = jax.lax.conv_general_dilated(
             x, w,
             window_strides=(self.stride, self.stride),
             padding=conv_pad,
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "OIHW", "NHWC"),
-            preferred_element_type=jnp.float32,
         ).astype(ctx.dtype)
         if self.bias:
             out = out + params[prefix + "bias"].astype(ctx.dtype)
@@ -226,7 +228,6 @@ class ConvTranspose2d(Layer):
             padding=((lo, hi), (lo, hi)),
             lhs_dilation=(self.stride, self.stride),
             dimension_numbers=("NHWC", "OIHW", "NHWC"),
-            preferred_element_type=jnp.float32,
         ).astype(ctx.dtype)
         if self.bias:
             out = out + params[prefix + "bias"].astype(ctx.dtype)

@@ -1,0 +1,385 @@
+"""Stage 2 — unpaired HQ<->LQ depth translation (CycleGAN-style).
+
+Reference: models/translation_model.py. Two dual-branch translators
+(``G_A``: syn->real, ``G_B``: real->syn) and four PatchGAN discriminators
+(depth + FOV-surface-normal per direction, :85-105). Alternating optimization:
+``num_iter_gen`` generator steps (each with a fresh forward) then
+``num_iter_dis`` discriminator steps (:274-291) — here each is one jitted,
+data-parallel program (grads flow only to the side being optimized; the other
+side's params are non-differentiated arguments, the functional equivalent of
+``set_requires_grad``).
+
+As-shipped semantics preserved:
+- D_A trains against ``rec_depth_B`` / ``rec_norm_B`` as "real" instead of the
+  real depth ("followed Maeda", :201-203);
+- identity loss: idt_A disabled by default (``no_idt_A=True``, :33); idt_B =
+  L1(G_B(real_A...), real_depth_A) (:240);
+- depth-range/cycle weights ramp via ``calc_l_step``/``update_loss_weight``
+  (:293-305) — which main.py never calls; same here (the hooks exist);
+- the duplicated detached cycle-B forward (:177, immediately overwritten) is
+  dead compute and is not reproduced;
+- the masked-cos-sim cycle_n_A divides by sum(mask)+1e+6 (reference bug,
+  translation_network.py:327) — reproduced via compat_bug=True.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from desr_tpu.models import translation_networks as TN
+from desr_tpu.models.base_model import BaseModel, split_trainable
+from desr_tpu.models.layers import Ctx
+from desr_tpu.ops import losses as L
+from desr_tpu.ops.normals import surface_normals_fov
+from desr_tpu.ops.optim import adam_init, adam_update
+
+HOLE_BORDER = -0.98  # translation_model.py:324-326
+
+
+class TranslationModel(BaseModel):
+    @staticmethod
+    def modify_commandline_options(parser, is_train):
+        # reference translation_model.py:13-41
+        parser.add_argument("--l_cycle_A_begin", type=float, default=10.0)
+        parser.add_argument("--l_cycle_A_end", type=float, default=10.0)
+        parser.add_argument("--l_cycle_B_begin", type=float, default=5.0)
+        parser.add_argument("--l_cycle_B_end", type=float, default=5.0)
+        parser.add_argument("--l_identity", type=float, default=1)
+        parser.add_argument("--l_normal", type=float, default=1.0)
+        parser.add_argument("--l_reconstruction_semantic", type=float, default=0.0)
+        parser.add_argument("--l_depth_A_begin", type=float, default=5.0)
+        parser.add_argument("--l_depth_A_end", type=float, default=0.0)
+        parser.add_argument("--l_depth_B_begin", type=float, default=5.0)
+        parser.add_argument("--l_depth_B_end", type=float, default=0.0)
+        parser.add_argument("--l_mean_A", type=float, default=0.0)
+        parser.add_argument("--l_mean_B", type=float, default=0.0)
+        parser.add_argument("--l_tv_A", type=float, default=0.0)
+        parser.add_argument("--l_max_iter", type=int, default=5000)
+        parser.add_argument("--l_num_iter", type=int, default=5000)
+        parser.add_argument("--num_iter_gen", type=int, default=3)
+        parser.add_argument("--num_iter_dis", type=int, default=1)
+        parser.add_argument("--no_idt_A", action="store_true", default=True)
+        parser.add_argument("--use_cycle_A", action="store_true", default=False)
+        parser.add_argument("--use_cycle_B", action="store_true", default=True)
+        parser.add_argument("--disc_for_normals", action="store_true", default=True)
+        parser.add_argument("--disc_for_depth", action="store_true", default=True)
+        parser.add_argument("--inp_B", type=str, default="img_depth")
+        parser.add_argument("--norm_d", type=str, default="none")
+        parser.add_argument("--w_decay_G", type=float, default=0.0001)
+        try:
+            parser.add_argument("--max_distance", type=float, default=5100.0)
+        except Exception:
+            pass
+        return parser
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        if self.isTrain:
+            self.loss_names = ["G_A", "G_B", "depth_dif_A", "depth_dif_B"]
+            if opt.l_mean_A > 0:
+                self.loss_names += ["mean_dif_A"]
+            if opt.l_mean_B > 0:
+                self.loss_names += ["mean_dif_B"]
+            if opt.use_cycle_A:
+                self.loss_names += ["cycle_A", "cycle_n_A"]
+            if opt.use_cycle_B:
+                self.loss_names += ["cycle_B", "cycle_n_B"]
+            if opt.disc_for_depth:
+                self.loss_names += ["D_A_depth", "D_B_depth"]
+            if opt.disc_for_normals:
+                self.loss_names += ["D_A_normal", "D_B_normal"]
+            if opt.l_identity > 0:
+                self.loss_names += ["idt_A", "idt_B"]
+            if opt.l_depth_A_begin > 0:
+                self.loss_names += ["depth_range_A"]
+            if opt.l_depth_B_begin > 0:
+                self.loss_names += ["depth_range_B"]
+            if opt.l_tv_A > 0:
+                self.loss_names += ["tv_norm_A"]
+        self.loss_names_test = ["depth_dif_A", "depth_dif_B"]
+        self.visual_names = ["real_img_A", "real_depth_A", "real_img_B", "real_depth_B",
+                             "fake_depth_B", "fake_depth_A"]
+        if opt.use_cycle_A:
+            self.visual_names += ["rec_depth_A"]
+        if opt.use_cycle_B:
+            self.visual_names += ["rec_depth_B"]
+
+        self.model_names = ["G_A", "G_B"]
+        gen_opt = TN.default_translator_opt(init_type=opt.init_type)
+        self.nets["G_A"] = TN.define_Gen(gen_opt, input_type="img_depth")
+        self.nets["G_B"] = TN.define_Gen(gen_opt, input_type=opt.inp_B)
+        self.disc_names = []
+        if self.isTrain:
+            if opt.disc_for_depth:
+                self.disc_names += ["D_A_depth", "D_B_depth"]
+            if opt.disc_for_normals:
+                self.disc_names += ["D_A_normal", "D_B_normal"]
+            self.model_names += self.disc_names
+            for dn in self.disc_names:
+                input_type = "depth" if dn.endswith("depth") else "normal"
+                self.nets[dn] = TN.define_D(opt, input_type=input_type)
+
+        # ramped loss weights (translation_model.py:122-126)
+        self.l_depth_A = opt.l_depth_A_begin if self.isTrain else 0.0
+        self.l_depth_B = opt.l_depth_B_begin if self.isTrain else 0.0
+        self.l_cycle_A = opt.l_cycle_A_begin if self.isTrain else 0.0
+        self.l_cycle_B = opt.l_cycle_B_begin if self.isTrain else 0.0
+        if self.isTrain:
+            self.calc_l_step()
+
+    # -- weight ramps (translation_model.py:293-305) -------------------------
+
+    def calc_l_step(self):
+        opt = self.opt
+        self.l_depth_A_step = abs(opt.l_depth_A_begin - opt.l_depth_A_end) / opt.l_num_iter
+        self.l_depth_B_step = abs(opt.l_depth_B_begin - opt.l_depth_B_end) / opt.l_num_iter
+        self.l_cycle_A_step = abs(opt.l_cycle_A_begin - opt.l_cycle_A_end) / opt.l_num_iter
+        self.l_cycle_B_step = abs(opt.l_cycle_B_begin - opt.l_cycle_B_end) / opt.l_num_iter
+
+    def update_loss_weight(self, global_iter):
+        if global_iter > self.opt.l_max_iter:
+            self.l_depth_A -= self.l_depth_A_step
+            self.l_depth_B -= self.l_depth_B_step
+            self.l_cycle_A += self.l_cycle_A_step
+            self.l_cycle_B += self.l_cycle_B_step
+
+    # -- steps ----------------------------------------------------------------
+
+    def _forward_fns(self):
+        opt = self.opt
+        dtype = self.compute_dtype
+        g_a, g_b = self.nets["G_A"], self.nets["G_B"]
+        depth_only_B = opt.inp_B == "depth"
+
+        def gen_forward(params_g, batch, rng, train):
+            ctx = Ctx(train=train, rng=rng, dtype=dtype)
+            depth_A, img_A = batch["A_depth"], batch["A_img"].astype(dtype)
+            depth_B, img_B = batch["B_depth"], batch["B_img"].astype(dtype)
+            f = {"real_depth_A": depth_A, "real_depth_B": depth_B,
+                 "real_img_A": batch["A_img"], "real_img_B": batch["B_img"]}
+            f["hole_mask_A"] = depth_A <= HOLE_BORDER
+            fake_B = g_a.apply(params_g["G_A"], depth_A.astype(dtype), img_A, ctx).astype(jnp.float32)
+            if depth_only_B:
+                fake_A = g_b.apply(params_g["G_B"], depth_B.astype(dtype), None, ctx).astype(jnp.float32)
+            else:
+                fake_A = g_b.apply(params_g["G_B"], depth_B.astype(dtype), img_B, ctx).astype(jnp.float32)
+            f["fake_depth_B"], f["fake_depth_A"] = fake_B, fake_A
+            f["hole_mask_B"] = fake_A <= HOLE_BORDER
+            f["real_norm_A"] = surface_normals_fov(depth_A)
+            f["real_norm_B"] = surface_normals_fov(depth_B)
+            f["fake_norm_A"] = surface_normals_fov(fake_A)
+            f["fake_norm_B"] = surface_normals_fov(fake_B)
+            if opt.use_cycle_A:
+                if depth_only_B:
+                    rec_A = g_b.apply(params_g["G_B"], fake_B.astype(dtype), None, ctx)
+                else:
+                    rec_A = g_b.apply(params_g["G_B"], fake_B.astype(dtype), img_A, ctx)
+                f["rec_depth_A"] = rec_A.astype(jnp.float32)
+                f["rec_norm_A"] = surface_normals_fov(f["rec_depth_A"])
+            if opt.use_cycle_B:
+                rec_B = g_a.apply(params_g["G_A"], fake_A.astype(dtype), img_B, ctx)
+                f["rec_depth_B"] = rec_B.astype(jnp.float32)
+                f["rec_norm_B"] = surface_normals_fov(f["rec_depth_B"])
+            if train and opt.l_identity > 0:
+                f["idt_A"] = g_a.apply(params_g["G_A"], depth_B.astype(dtype), img_B, ctx).astype(jnp.float32)
+                if depth_only_B:
+                    f["idt_B"] = g_b.apply(params_g["G_B"], depth_A.astype(dtype), None, ctx).astype(jnp.float32)
+                else:
+                    f["idt_B"] = g_b.apply(params_g["G_B"], depth_A.astype(dtype), img_A, ctx).astype(jnp.float32)
+            return f
+
+        return gen_forward
+
+    def _post_setup(self):
+        opt = self.opt
+        dtype = self.compute_dtype
+        gen_forward = self._forward_fns()
+        disc_names = self.disc_names
+        ctx_d = Ctx(train=True, dtype=dtype)
+
+        def d_apply(params, name, x):
+            return self.nets[name].apply(params[name], x.astype(dtype), ctx_d).astype(jnp.float32)
+
+        def g_losses(f, params_d, weights):
+            m = {}
+            loss_A = 0.0
+            loss_B = 0.0
+            if opt.disc_for_depth:
+                loss_A += 0.5 * L.gan_loss(d_apply(params_d, "D_A_depth", f["fake_depth_B"]), True, opt.gan_mode)
+                loss_B += 0.5 * L.gan_loss(d_apply(params_d, "D_B_depth", f["fake_depth_A"]), True, opt.gan_mode)
+            if opt.disc_for_normals:
+                loss_A += 0.5 * L.gan_loss(d_apply(params_d, "D_A_normal", f["fake_norm_B"]), True, opt.gan_mode)
+                loss_B += 0.5 * L.gan_loss(d_apply(params_d, "D_B_normal", f["fake_norm_A"]), True, opt.gan_mode)
+            m["G_A"], m["G_B"] = loss_A, loss_B
+            if opt.use_cycle_A:
+                not_hole = ~f["hole_mask_A"]
+                m["cycle_A"] = L.masked_l1_loss(f["rec_depth_A"], f["real_depth_A"], not_hole) * weights["l_cycle_A"]
+                m["cycle_n_A"] = L.masked_cos_sim_loss(
+                    f["rec_norm_A"], f["real_norm_A"],
+                    jnp.repeat(not_hole, 3, axis=-1)) * opt.l_normal * weights["l_cycle_A"]
+                loss_A = loss_A + m["cycle_A"] + m["cycle_n_A"]
+            if opt.use_cycle_B:
+                m["cycle_B"] = L.l1_loss(f["rec_depth_B"], f["real_depth_B"]) * weights["l_cycle_B"]
+                m["cycle_n_B"] = L.cos_sim_loss(
+                    f["rec_norm_B"], f["real_norm_B"]) * opt.l_normal * weights["l_cycle_B"]
+                loss_B = loss_B + m["cycle_B"] + m["cycle_n_B"]
+            if opt.l_identity > 0:
+                m["idt_A"] = jnp.zeros(())
+                if not opt.no_idt_A:
+                    m["idt_A"] = L.l1_loss(f["idt_A"], f["real_depth_B"]) * opt.l_identity
+                    loss_A = loss_A + m["idt_A"]
+                m["idt_B"] = L.l1_loss(f["idt_B"], f["real_depth_A"]) * opt.l_identity
+                loss_B = loss_B + m["idt_B"]
+            if opt.l_mean_A > 0:
+                m["mean_dif_A"] = L.masked_mean_dif(f["fake_depth_B"], f["real_depth_A"],
+                                                    ~f["hole_mask_A"]) * opt.l_mean_A
+                loss_A = loss_A + m["mean_dif_A"]
+            if opt.l_mean_B > 0:
+                m["mean_dif_B"] = L.masked_mean_dif(f["fake_depth_A"], f["real_depth_B"],
+                                                    ~f["hole_mask_B"]) * opt.l_mean_B
+                loss_B = loss_B + m["mean_dif_B"]
+            if opt.l_tv_A > 0:
+                m["tv_norm_A"] = L.tv_norm(f["fake_norm_B"]) * opt.l_tv_A
+                loss_A = loss_A + m["tv_norm_A"]
+            m["depth_range_A"] = L.masked_l1_loss(f["fake_depth_B"], f["real_depth_A"],
+                                                  ~f["hole_mask_A"]) * weights["l_depth_A"]
+            m["depth_range_B"] = L.masked_l1_loss(f["fake_depth_A"], f["real_depth_B"],
+                                                  ~f["hole_mask_B"]) * weights["l_depth_B"]
+            loss_A = loss_A + m["depth_range_A"]
+            loss_B = loss_B + m["depth_range_B"]
+            return loss_A + loss_B, m
+
+        def meters(x):
+            return (x * (opt.max_distance / 2) + opt.max_distance / 2) / 1000.0
+
+        def g_step(params, opt_state_g, batch, rng, lr, weights):
+            trains, auxs = {}, {}
+            for n in self.model_names:
+                trains[n], auxs[n] = split_trainable(params[n])
+            g_train = {n: trains[n] for n in ["G_A", "G_B"]}
+            d_full = {n: dict(trains[n], **auxs[n]) for n in disc_names}
+
+            def loss_fn(gt):
+                g_full = {n: dict(gt[n], **auxs[n]) for n in ["G_A", "G_B"]}
+                f = gen_forward(g_full, batch, rng, True)
+                loss, m = g_losses(f, d_full, weights)
+                return loss, (m, f)
+
+            (loss, (m, f)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_train)
+            new_g, new_opt = adam_update(grads, opt_state_g, g_train, lr,
+                                         b1=opt.beta1, b2=0.999,
+                                         weight_decay=opt.w_decay_G)
+            new_params = dict(params)
+            for n in ["G_A", "G_B"]:
+                new_params[n] = dict(new_g[n], **auxs[n])
+            m["depth_dif_A"] = L.masked_l1_loss(meters(f["real_depth_A"]),
+                                                meters(f["fake_depth_B"]), ~f["hole_mask_A"])
+            m["depth_dif_B"] = L.masked_l1_loss(meters(f["real_depth_B"]),
+                                                meters(f["fake_depth_A"]), ~f["hole_mask_B"])
+            return new_params, new_opt, m
+
+        def d_step(params, opt_state_d, batch, rng, lr):
+            trains, auxs = {}, {}
+            for n in self.model_names:
+                trains[n], auxs[n] = split_trainable(params[n])
+            g_full = {n: dict(trains[n], **auxs[n]) for n in ["G_A", "G_B"]}
+            f = gen_forward(g_full, batch, rng, True)
+            f = {k: (jax.lax.stop_gradient(v) if isinstance(v, jnp.ndarray) else v)
+                 for k, v in f.items()}
+            d_train = {n: trains[n] for n in disc_names}
+
+            def loss_fn(dt):
+                d_full = {n: dict(dt[n], **auxs[n]) for n in disc_names}
+                m = {}
+                total = 0.0
+                if opt.disc_for_depth:
+                    # D_A: rec_depth_B as "real" (translation_model.py:201)
+                    real_A = f["rec_depth_B"] if opt.use_cycle_B else f["real_depth_B"]
+                    m["D_A_depth"] = 0.5 * (
+                        L.gan_loss(d_apply(d_full, "D_A_depth", real_A), True, opt.gan_mode)
+                        + L.gan_loss(d_apply(d_full, "D_A_depth", f["fake_depth_B"]), False, opt.gan_mode))
+                    m["D_B_depth"] = 0.5 * (
+                        L.gan_loss(d_apply(d_full, "D_B_depth", f["real_depth_A"]), True, opt.gan_mode)
+                        + L.gan_loss(d_apply(d_full, "D_B_depth", f["fake_depth_A"]), False, opt.gan_mode))
+                    total += m["D_A_depth"] + m["D_B_depth"]
+                if opt.disc_for_normals:
+                    real_nA = f["rec_norm_B"] if opt.use_cycle_B else f["real_norm_B"]
+                    m["D_A_normal"] = 0.5 * (
+                        L.gan_loss(d_apply(d_full, "D_A_normal", real_nA), True, opt.gan_mode)
+                        + L.gan_loss(d_apply(d_full, "D_A_normal", f["fake_norm_B"]), False, opt.gan_mode))
+                    m["D_B_normal"] = 0.5 * (
+                        L.gan_loss(d_apply(d_full, "D_B_normal", f["real_norm_A"]), True, opt.gan_mode)
+                        + L.gan_loss(d_apply(d_full, "D_B_normal", f["fake_norm_A"]), False, opt.gan_mode))
+                    total += m["D_A_normal"] + m["D_B_normal"]
+                return total, m
+
+            (total, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_train)
+            new_d, new_opt = adam_update(grads, opt_state_d, d_train, lr,
+                                         b1=opt.beta1, b2=0.999)
+            new_params = dict(params)
+            for n in disc_names:
+                new_params[n] = dict(new_d[n], **auxs[n])
+            return new_params, new_opt, m
+
+        def eval_step(params, batch, rng):
+            g_full = {n: params[n] for n in ["G_A", "G_B"]}
+            f = gen_forward(g_full, batch, rng, False)
+            m = {
+                "depth_dif_A": L.masked_l1_loss(meters(f["real_depth_A"]),
+                                                meters(f["fake_depth_B"]), ~f["hole_mask_A"]),
+                "depth_dif_B": L.masked_l1_loss(meters(f["real_depth_B"]),
+                                                meters(f["fake_depth_A"]), ~f["hole_mask_B"]),
+            }
+            return m, f
+
+        self._g_step = jax.jit(g_step, donate_argnums=(0, 1))
+        self._d_step = jax.jit(d_step, donate_argnums=(0, 1)) if disc_names else None
+        self._eval_step = jax.jit(eval_step)
+
+        if self.isTrain:
+            g_train = {n: split_trainable(self.params[n])[0] for n in ["G_A", "G_B"]}
+            self.opt_state_G = adam_init(g_train)
+            if disc_names:
+                d_train = {n: split_trainable(self.params[n])[0] for n in disc_names}
+                self.opt_state_D = adam_init(d_train)
+
+    # -- reference-API entry points -------------------------------------------
+
+    def set_input(self, batch):
+        self._batch = self.shard({
+            "A_depth": batch["A_depth"], "A_img": batch["A_img"],
+            "B_depth": batch["B_depth"], "B_img": batch["B_img"],
+        })
+        self._names = {"A_name": batch.get("A_name"), "B_name": batch.get("B_name")}
+
+    def _weights(self):
+        return {
+            "l_depth_A": jnp.float32(max(self.l_depth_A, 0.0)),
+            "l_depth_B": jnp.float32(max(self.l_depth_B, 0.0)),
+            "l_cycle_A": jnp.float32(self.l_cycle_A),
+            "l_cycle_B": jnp.float32(self.l_cycle_B),
+        }
+
+    def optimize_parameters(self, iters, fr=1):
+        lr = jnp.float32(self.lr)
+        for _ in range(self.opt.num_iter_gen):
+            self.params, self.opt_state_G, m = self._g_step(
+                self.params, self.opt_state_G, self._batch, self.next_rng(), lr,
+                self._weights())
+        self.metrics = dict(m)
+        if self._d_step is not None:
+            for _ in range(self.opt.num_iter_dis):
+                self.params, self.opt_state_D, md = self._d_step(
+                    self.params, self.opt_state_D, self._batch, self.next_rng(), lr)
+            self.metrics.update(md)
+
+    def calculate(self, stage="test"):
+        m, f = self._eval_step(self.params, self._batch, self.next_rng())
+        self.metrics = m
+        self.visuals = {k: f[k] for k in self.visual_names if k in f}
+
+    def calc_test_loss(self):
+        self.calculate()
+        self.test_depth_dif_A = float(self.metrics["depth_dif_A"])
+        self.test_depth_dif_B = float(self.metrics["depth_dif_B"])

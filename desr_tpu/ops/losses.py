@@ -77,10 +77,13 @@ def cos_sim_loss(x, y, eps=1e-8):
     """mean(1 - cosine_similarity) over the channel axis.
 
     translation_network.py:313-318; eps matches torch CosineSimilarity (1e-8,
-    applied as a max on each norm).
+    applied as a max on each norm). Uses the gradient-safe norm (normal maps
+    contain exact-zero rows from the FOV quirk — see ops.normals.safe_norm).
     """
-    nx = jnp.maximum(jnp.linalg.norm(x, axis=-1), eps)
-    ny = jnp.maximum(jnp.linalg.norm(y, axis=-1), eps)
+    from desr_tpu.ops.normals import safe_norm
+
+    nx = jnp.maximum(safe_norm(x, keepdims=False), eps)
+    ny = jnp.maximum(safe_norm(y, keepdims=False), eps)
     cos = jnp.sum(x * y, axis=-1) / (nx * ny)
     return jnp.mean(1.0 - cos)
 
@@ -94,8 +97,10 @@ def masked_cos_sim_loss(x, y, mask, compat_bug=True, eps=1e-8):
     the off-by-default cycle_A path, but we keep the constant so loss curves
     match when that path is enabled.
     """
-    nx = jnp.maximum(jnp.linalg.norm(x, axis=-1), eps)
-    ny = jnp.maximum(jnp.linalg.norm(y, axis=-1), eps)
+    from desr_tpu.ops.normals import safe_norm
+
+    nx = jnp.maximum(safe_norm(x, keepdims=False), eps)
+    ny = jnp.maximum(safe_norm(y, keepdims=False), eps)
     cos = jnp.sum(x * y, axis=-1) / (nx * ny)
     loss = (1.0 - cos)[..., None]
     mask = mask.astype(x.dtype)

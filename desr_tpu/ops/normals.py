@@ -25,6 +25,20 @@ import math
 import jax.numpy as jnp
 
 
+def safe_norm(x, axis=-1, keepdims=True):
+    """L2 norm with a well-defined (zero) gradient at x == 0.
+
+    ``jnp.linalg.norm`` has a NaN gradient at exactly zero vectors, which the
+    FOV normals hit on every reflect-pad boundary row (the difference windows
+    are offset by one, so the first gy row is exactly zero — an as-shipped
+    reference quirk, translation_network.py:351-356). Values are identical to
+    the plain norm.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    safe = jnp.where(sq > 0, sq, 1.0)
+    return jnp.where(sq > 0, jnp.sqrt(safe), 0.0)
+
+
 def np_gradient(f, axis):
     """np.gradient with unit spacing along `axis`.
 
@@ -50,7 +64,7 @@ def surface_normals(depth, eps=1e-6):
     dzdy = -np_gradient(d, axis=2)  # cols (W)
     ones = jnp.ones_like(d)
     n = jnp.stack([dzdx, dzdy, ones], axis=-1)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    norm = safe_norm(n)
     return n / (norm + eps)
 
 
@@ -89,7 +103,7 @@ def surface_normals_fov(depth, fov_deg=60.0, canvas_hw=(482, 642), eps=1e-8):
     # gy: rows [2:h+2] - rows [0:h], cols [0:w] of the padded tensor.
     gy = (pv[:, 2 : 2 + h, 0:w, :] - pv[:, 0:h, 0:w, :]) / 2.0
     crs = jnp.cross(gx, gy, axis=-1)
-    norm = jnp.linalg.norm(crs, axis=-1, keepdims=True)
+    norm = safe_norm(crs)
     return -crs / jnp.maximum(norm, eps)
 
 
@@ -134,7 +148,7 @@ def points_to_normals(coords, eps=None):
     n_y = dzdv * dxdu - dzdu * dxdv
     n_z = dxdv * dydu - dxdu * dydv
     n = jnp.stack([n_x, n_y, n_z], axis=-1)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    norm = safe_norm(n)
     if eps is None:
         eps = jnp.asarray(1e-12, n.dtype)
     return n / jnp.maximum(norm, eps)

@@ -1,0 +1,112 @@
+"""CLI driver — train AND test for all 4 model types.
+
+Mirrors the reference's main.py:21-132 flow and flag surface: dispatch on
+``--model_type`` (+ ``--SR``), epoch loop with ``--do_train`` / ``--do_test``,
+periodic loss prints / wandb logging, ``latest`` + per-epoch checkpoints, and
+per-epoch LR stepping. The compute path underneath is one jitted data-parallel
+step per model (see desr_tpu.models.*).
+
+Example (README.md:28 equivalent):
+    python main.py --model_type I2D --do_train --do_test --image_and_depth \
+        --use_scannet --batch_size 12 --lr 2e-4 --n_epochs 150 --n_epochs_decay 150 \
+        --path_A ... --path_B ... --A_add_paths ... --B_add_paths ...
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+
+from desr_tpu.options.train_options import TrainOptions
+from desr_tpu.data import create_dataset, dataset_for_model
+from desr_tpu.models import create_model
+
+
+def sum_of_dicts(dict1, dict2, l):
+    return OrderedDict([(key, dict1.get(key, 0.0) + dict2[key] / l) for key in dict2.keys()])
+
+
+def main():
+    opt = TrainOptions().parse()
+
+    wandb = None
+    if opt.use_wandb:
+        try:
+            import wandb as _wandb
+
+            wandb = _wandb
+            wandb.init(project="translation_compare")
+            wandb.config.update(opt)
+        except ImportError:
+            print("wandb not available; falling back to console logging")
+
+    model = create_model(opt)
+    dataset_cls = dataset_for_model(opt)
+    dataset = create_dataset(opt, dataset_cls) if opt.do_train else None
+    test_dataset = create_dataset(opt, dataset_cls, stage="test") if opt.do_test else None
+    if dataset is not None:
+        print("The number of training images = %d" % len(dataset))
+
+    model.setup(opt)
+
+    from desr_tpu.utils.visualizer import Visualizer
+
+    visualizer = Visualizer(opt)
+
+    total_iters = opt.start_iter
+    for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + opt.epoch_count):
+        epoch_start_time = time.time()
+        model._epoch = epoch
+
+        if opt.do_train:
+            model._train()
+            iter_data_time = time.time()
+            for i, data in enumerate(dataset):
+                iter_start_time = time.time()
+                t_data = iter_start_time - iter_data_time
+                total_iters += opt.batch_size
+                model.set_input(data)
+                model.optimize_parameters(total_iters, opt.update_ratio)
+
+                if (total_iters - opt.start_iter) % opt.print_freq == 0:
+                    losses = model.get_current_losses()
+                    t_comp = (time.time() - iter_start_time) / opt.batch_size
+                    visualizer.print_current_losses(epoch, total_iters, losses, t_comp, t_data)
+                    if wandb:
+                        wandb.log(losses, step=total_iters)
+
+                if (total_iters - opt.start_iter) % (opt.save_latest_freq * opt.batch_size) == 0:
+                    print("saving the latest model (epoch %d, total_iters %d)" % (epoch, total_iters))
+                    suffix = "iter_%d" % total_iters if opt.save_by_iter else "latest"
+                    model.save_networks(suffix)
+                iter_data_time = time.time()
+
+            if epoch % opt.save_epoch_freq == 0:
+                print("saving the model at the end of epoch %d, iters %d" % (epoch, total_iters))
+                model.save_networks("latest")
+                model.save_networks(epoch)
+            print("End of epoch %d / %d \t Time Taken: %d sec"
+                  % (epoch, opt.n_epochs + opt.n_epochs_decay, time.time() - epoch_start_time))
+            model.update_learning_rate(epoch)
+
+        if opt.do_test:
+            model.eval()
+            mean_losses = OrderedDict()
+            l = max(len(test_dataset), 1)
+            for i, data in enumerate(test_dataset):
+                model.set_input(data)
+                model.calculate(stage="test")
+                losses = model.get_current_losses()
+                mean_losses = sum_of_dicts(mean_losses, losses, l / max(opt.batch_size_val, 1))
+            if wandb:
+                wandb.log({"test": dict(mean_losses)}, step=total_iters)
+            print("stage:  test")
+            print(dict(mean_losses))
+            print("=" * 85)
+
+        if not opt.do_train:
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Data-parallel training over the 8-virtual-device CPU mesh.
+
+The TPU-native analog of multi-GPU DataParallel testing (SURVEY.md §2.13):
+batch sharded over 'data', params/optimizer replicated, gradient all-reduce
+inserted by GSPMD inside the jitted step.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from desr_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from desr_tpu.options.train_options import TrainOptions
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh()
+    batch = {"x": np.zeros((8, 4, 4, 1), np.float32), "K": np.zeros((8, 3, 3), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    # leading axis split over 8 devices
+    shard_shapes = [s.data.shape for s in sharded["x"].addressable_shards]
+    assert all(s == (1, 4, 4, 1) for s in shard_shapes)
+
+
+def test_i2d_data_parallel_8dev():
+    from desr_tpu.models.i2d_model import I2DModel
+
+    argv = [
+        "--model_type", "I2D", "--name", "t_dp", "--checkpoints_dir", "/tmp/desr_dp_ckpt",
+        "--Imagef_outf", "8", "--Imagef_basef", "8", "--Task_basef", "8",
+        "--batch_size", "8", "--compute_dtype", "float32",
+    ]
+    opt = TrainOptions().parse(argv)
+    model = I2DModel(opt)
+    model.setup()
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "A_i": rng.uniform(-1, 1, (8, 128, 128, 3)).astype(np.float32),
+        "B_i": rng.uniform(-1, 1, (8, 128, 128, 3)).astype(np.float32),
+        "A_d": rng.uniform(-1, 1, (8, 128, 128, 1)).astype(np.float32),
+        "B_d": rng.uniform(-1, 1, (8, 128, 128, 1)).astype(np.float32),
+    }
+    model.set_input(batch)
+    model.optimize_parameters(1)
+    loss8 = float(model.metrics["G"])
+    assert np.isfinite(loss8)
+
+    # the replicated params stay consistent across devices
+    w = model.params["Task"]["model.model.0.weight"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(s, shards[0])
+
+
+def test_dp_matches_single_device_loss():
+    """Global-mean loss over a sharded batch == loss over the same batch on 1 device."""
+    from desr_tpu.models.i2d_model import I2DModel
+
+    argv = [
+        "--model_type", "I2D", "--name", "t_dp2", "--checkpoints_dir", "/tmp/desr_dp2_ckpt",
+        "--Imagef_outf", "8", "--Imagef_basef", "8", "--Task_basef", "8",
+        "--batch_size", "8", "--compute_dtype", "float32",
+    ]
+    opt = TrainOptions().parse(argv)
+    rng = np.random.default_rng(1)
+    batch = {
+        "A_i": rng.uniform(-1, 1, (8, 128, 128, 3)).astype(np.float32),
+        "B_i": rng.uniform(-1, 1, (8, 128, 128, 3)).astype(np.float32),
+        "A_d": rng.uniform(-1, 1, (8, 128, 128, 1)).astype(np.float32),
+        "B_d": rng.uniform(-1, 1, (8, 128, 128, 1)).astype(np.float32),
+    }
+
+    m8 = I2DModel(opt)
+    m8.setup()
+    m8.set_input(batch)
+    m8.calculate()
+    loss8 = float(m8.metrics["task_syn"])
+
+    m1 = I2DModel(opt)
+    m1.mesh = make_mesh(jax.devices()[:1])
+    m1.setup()
+    m1.set_input(batch)
+    m1.calculate()
+    loss1 = float(m1.metrics["task_syn"])
+    assert loss8 == pytest.approx(loss1, rel=1e-5)
