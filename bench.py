@@ -55,25 +55,35 @@ def main():
     batch = max(1, n_chips)  # README SR config: batch 1 per chip
     ch, cw = 512, 640
 
-    argv = [
-        "--model_type", "main", "--SR", "--name", "bench_sr",
-        "--checkpoints_dir", "/tmp/desr_bench_ckpt",
-        "--batch_size", str(batch),
-        "--use_image_for_trans", "--use_masked", "--norm_loss", "--use_smooth_loss",
-        "--w_syn_norm", "0.05",
-        "--crop_size_h", str(ch), "--crop_size_w", str(cw),
-        "--lr", "2e-5",
-    ]
-    opt = TrainOptions().parse(argv)
-    model = MainSRModel(opt)
-    model.setup()
+    def build(remat):
+        argv = [
+            "--model_type", "main", "--SR", "--name", "bench_sr",
+            "--checkpoints_dir", "/tmp/desr_bench_ckpt",
+            "--batch_size", str(batch),
+            "--use_image_for_trans", "--use_masked", "--norm_loss", "--use_smooth_loss",
+            "--w_syn_norm", "0.05",
+            "--crop_size_h", str(ch), "--crop_size_w", str(cw),
+            "--lr", "2e-5",
+        ] + (["--remat"] if remat else [])
+        opt = TrainOptions().parse(argv)
+        model = MainSRModel(opt)
+        model.setup()
+        return model
 
     data = make_batch(batch, ch, cw)
+    model = build(remat=False)
     model.set_input(data)
-
-    # warmup / compile
-    model.optimize_parameters(1)
-    jax.block_until_ready(model.params["Task"])
+    try:
+        # warmup / compile
+        model.optimize_parameters(1)
+        jax.block_until_ready(model.params["Task"])
+    except Exception as e:  # HBM OOM -> retry with rematerialization
+        print(f"# no-remat step failed ({type(e).__name__}); retrying with --remat",
+              file=sys.stderr)
+        model = build(remat=True)
+        model.set_input(data)
+        model.optimize_parameters(1)
+        jax.block_until_ready(model.params["Task"])
 
     n_steps = 10
     t0 = time.perf_counter()

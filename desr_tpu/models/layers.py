@@ -240,16 +240,24 @@ class ConvTranspose2d(Layer):
 
 
 class InstanceNorm2d(Layer):
-    """affine=False, track_running_stats=False (models/networks.py:30)."""
+    """affine=False, track_running_stats=False (models/networks.py:30).
+
+    Statistics accumulate in float32; the normalization itself stays in the
+    compute dtype so no full-tensor f32 temporaries are materialized (HBM
+    matters more than the last bf16 bit here)."""
 
     def __init__(self, num_features, eps=1e-5):
         self.eps = eps
 
     def apply(self, params, x, prefix, ctx):
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.var(x32, axis=(1, 2), keepdims=True)
-        return ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(ctx.dtype)
+        # E[x^2] - E[x]^2 form: the VJP stays in the compute dtype (the
+        # centered form materializes full-tensor f32 (x - mean) residuals in
+        # the backward pass — the dominant HBM cost at SR resolutions).
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        meansq = jnp.mean(jnp.square(x), axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        scale = jax.lax.rsqrt(var + self.eps).astype(ctx.dtype)
+        return (x - mean.astype(ctx.dtype)) * scale
 
 
 class GroupNorm(Layer):
@@ -273,14 +281,16 @@ class GroupNorm(Layer):
 
     def apply(self, params, x, prefix, ctx):
         b, h, w_, c = x.shape
-        x32 = x.astype(jnp.float32).reshape(b, h, w_, self.g, c // self.g)
-        mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
-        var = jnp.var(x32, axis=(1, 2, 4), keepdims=True)
-        x32 = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
-        x32 = x32.reshape(b, h, w_, c)
+        xg = x.reshape(b, h, w_, self.g, c // self.g)
+        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
+        meansq = jnp.mean(jnp.square(xg), axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        scale = jax.lax.rsqrt(var + self.eps).astype(ctx.dtype)
+        out = ((xg - mean.astype(ctx.dtype)) * scale).reshape(b, h, w_, c)
         if self.affine:
-            x32 = x32 * params[prefix + "weight"] + params[prefix + "bias"]
-        return x32.astype(ctx.dtype)
+            out = out * params[prefix + "weight"].astype(ctx.dtype) \
+                + params[prefix + "bias"].astype(ctx.dtype)
+        return out
 
 
 class BatchNorm2d(Layer):

@@ -42,6 +42,18 @@ from desr_tpu.ops.optim import adam_init, adam_update
 BORDER = -0.97  # main_model.py:133
 
 
+def _maybe_remat(enabled):
+    """Return a wrapper that optionally jax.checkpoint's a net's apply.
+
+    With remat on, each net's forward is recomputed during backward instead of
+    storing all intra-net activations — peak activation HBM becomes the max
+    over nets rather than the sum (needed for full-res SR batches).
+    """
+    if not enabled:
+        return lambda fn: fn
+    return lambda fn: jax.checkpoint(fn)
+
+
 class MainModel(BaseModel):
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
@@ -122,9 +134,16 @@ class MainModel(BaseModel):
         i2d = self.nets["Image2Depth"]
         depth_f = self.nets["Depth_f"]
         task = self.nets["Task"]
+        remat = _maybe_remat(getattr(opt, "remat", False))
 
         def forward(params, batch, rng, train):
             ctx = Ctx(train=train, rng=rng, dtype=dtype)
+            ga_ap = remat(lambda p, d, im: g_a_d.apply(p, d, im, ctx))
+            i2df_ap = remat(lambda p, x: i2d_f.apply(p, x, ctx))
+            i2d_ap = remat(lambda p, x: i2d.apply(p, x, ctx))
+            depthf_ap = remat(lambda p, x: depth_f.apply(p, x, ctx))
+            task_ap = remat(lambda p, x: task.apply(p, x, ctx))
+
             syn_image, real_image = batch["A_i"].astype(dtype), batch["B_i"].astype(dtype)
             syn_depth, real_depth = batch["A_d"], batch["B_d"]
 
@@ -132,13 +151,13 @@ class MainModel(BaseModel):
             real_mask = DPT.valid_mask(real_depth, BORDER)
             syn_mask = DPT.valid_mask(syn_depth, BORDER)
 
-            syn2real = g_a_d.apply(params["G_A_d"], syn_depth.astype(dtype),
-                                   syn_image, ctx).astype(jnp.float32)
+            syn2real = ga_ap(params["G_A_d"], syn_depth.astype(dtype),
+                             syn_image).astype(jnp.float32)
 
-            feats_syn = i2d_f.apply(params["I2D_features"], syn_image, ctx)
-            feats_real = i2d_f.apply(params["I2D_features"], real_image, ctx)
-            syn_dbi = i2d.apply(params["Image2Depth"], feats_syn, ctx).astype(jnp.float32)
-            real_dbi = i2d.apply(params["Image2Depth"], feats_real, ctx).astype(jnp.float32)
+            feats_syn = i2df_ap(params["I2D_features"], syn_image)
+            feats_real = i2df_ap(params["I2D_features"], real_image)
+            syn_dbi = i2d_ap(params["Image2Depth"], feats_syn).astype(jnp.float32)
+            real_dbi = i2d_ap(params["Image2Depth"], feats_real).astype(jnp.float32)
 
             if opt.use_masked:
                 n = 60 if train else 11
@@ -156,12 +175,12 @@ class MainModel(BaseModel):
 
             syn_pair = jnp.concatenate([syn2real_masked, syn_dbi], axis=-1).astype(dtype)
             real_pair = jnp.concatenate([depth_masked, real_dbi], axis=-1).astype(dtype)
-            feat_syn_d = depth_f.apply(params["Depth_f"], syn_pair, ctx)
-            feat_real_d = depth_f.apply(params["Depth_f"], real_pair, ctx)
-            pred_syn = task.apply(params["Task"], jnp.concatenate(
-                [feats_syn, feat_syn_d, syn_pair, syn_image], axis=-1), ctx).astype(jnp.float32)
-            pred_real = task.apply(params["Task"], jnp.concatenate(
-                [feats_real, feat_real_d, real_pair, real_image], axis=-1), ctx).astype(jnp.float32)
+            feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
+            feat_real_d = depthf_ap(params["Depth_f"], real_pair)
+            pred_syn = task_ap(params["Task"], jnp.concatenate(
+                [feats_syn, feat_syn_d, syn_pair, syn_image], axis=-1)).astype(jnp.float32)
+            pred_real = task_ap(params["Task"], jnp.concatenate(
+                [feats_real, feat_real_d, real_pair, real_image], axis=-1)).astype(jnp.float32)
 
             return dict(
                 syn_image=batch["A_i"], real_image=batch["B_i"],

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from desr_tpu.models import networks, translation_networks
 from desr_tpu.models.base_model import BaseModel, split_trainable
 from desr_tpu.models.layers import Ctx
-from desr_tpu.models.main_model import BORDER, MainModel
+from desr_tpu.models.main_model import BORDER, MainModel, _maybe_remat
 from desr_tpu.ops import depth as DPT
 from desr_tpu.ops import losses as L
 from desr_tpu.ops import normals as NRM
@@ -62,9 +62,16 @@ class MainSRModel(MainModel):
         task = self.nets["Task"]
         lr_hw = (opt.crop_size_h, opt.crop_size_w)
         hr_hw = (opt.crop_size_h * 2, opt.crop_size_w * 2)
+        remat = _maybe_remat(getattr(opt, "remat", False))
 
         def forward(params, batch, rng, train):
             ctx = Ctx(train=train, rng=rng, dtype=dtype)
+            ga_ap = remat(lambda p, d, im: g_a_d.apply(p, d, im, ctx))
+            i2df_ap = remat(lambda p, x: i2d_f.apply(p, x, ctx))
+            i2d_ap = remat(lambda p, x: i2d.apply(p, x, ctx))
+            depthf_ap = remat(lambda p, x: depth_f.apply(p, x, ctx))
+            task_ap = remat(lambda p, x: task.apply(p, x, ctx))
+
             syn_image, real_image = batch["A_i"].astype(dtype), batch["B_i"].astype(dtype)
             syn_depth, real_depth = batch["A_d"], batch["B_d"]  # HR
 
@@ -72,13 +79,13 @@ class MainSRModel(MainModel):
             real_mask = DPT.valid_mask(real_depth, BORDER)
             syn_mask = DPT.valid_mask(syn_depth, BORDER)
 
-            syn2real = g_a_d.apply(params["G_A_d"], syn_depth.astype(dtype),
-                                   syn_image, ctx).astype(jnp.float32)
+            syn2real = ga_ap(params["G_A_d"], syn_depth.astype(dtype),
+                             syn_image).astype(jnp.float32)
 
             def guidance(image):
                 lr_img = resize_bicubic(image.astype(jnp.float32), lr_hw).astype(dtype)
-                feats = i2d_f.apply(params["I2D_features"], lr_img, ctx)
-                dbi = i2d.apply(params["Image2Depth"], feats, ctx).astype(jnp.float32)
+                feats = i2df_ap(params["I2D_features"], lr_img)
+                dbi = i2d_ap(params["Image2Depth"], feats).astype(jnp.float32)
                 dbi_hr = resize_bicubic(dbi, hr_hw)
                 feats_hr = resize_bicubic(feats.astype(jnp.float32), hr_hw).astype(dtype)
                 return feats_hr, dbi_hr
@@ -104,14 +111,14 @@ class MainSRModel(MainModel):
                 syn2real_masked = syn2real
 
             real_pair = jnp.concatenate([depth_masked, real_dbi], axis=-1).astype(dtype)
-            feat_real_d = depth_f.apply(params["Depth_f"], real_pair, ctx)
-            pred_real_hr = task.apply(params["Task"], jnp.concatenate(
-                [feats_real, feat_real_d, real_pair, real_image], axis=-1), ctx).astype(jnp.float32)
+            feat_real_d = depthf_ap(params["Depth_f"], real_pair)
+            pred_real_hr = task_ap(params["Task"], jnp.concatenate(
+                [feats_real, feat_real_d, real_pair, real_image], axis=-1)).astype(jnp.float32)
 
             syn_pair = jnp.concatenate([syn2real_masked, syn_dbi], axis=-1).astype(dtype)
-            feat_syn_d = depth_f.apply(params["Depth_f"], syn_pair, ctx)
-            pred_syn = task.apply(params["Task"], jnp.concatenate(
-                [feats_syn, feat_syn_d, syn_pair, syn_image], axis=-1), ctx).astype(jnp.float32)
+            feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
+            pred_syn = task_ap(params["Task"], jnp.concatenate(
+                [feats_syn, feat_syn_d, syn_pair, syn_image], axis=-1)).astype(jnp.float32)
 
             pred_real = resize_bicubic(pred_real_hr, lr_hw)
 

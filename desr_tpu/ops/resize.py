@@ -32,14 +32,17 @@ def _cubic_kernel(x, a=-0.75):
 
 @functools.lru_cache(maxsize=256)
 def _resize_matrix(in_size, out_size, mode):
-    """(out_size, in_size) row-interpolation matrix, torch semantics."""
+    """(out_size, in_size) row-interpolation matrix, torch semantics.
+
+    Cached as NUMPY (never jnp): a cached jnp constant created while tracing
+    would leak a tracer into later traces."""
     if mode == "nearest":
         # torch F.interpolate(mode='nearest'): src = floor(i * in/out)
         src = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)
         src = np.clip(src, 0, in_size - 1)
         m = np.zeros((out_size, in_size), dtype=np.float32)
         m[np.arange(out_size), src] = 1.0
-        return jnp.asarray(m)
+        return m
 
     scale = in_size / out_size
     # half-pixel centers (align_corners=False)
@@ -61,7 +64,7 @@ def _resize_matrix(in_size, out_size, mode):
             np.add.at(m, (np.arange(out_size), idx), wgt)
     else:
         raise ValueError(mode)
-    return jnp.asarray(m.astype(np.float32))
+    return m.astype(np.float32)
 
 
 def _apply_separable(img, out_hw, mode):
@@ -70,10 +73,10 @@ def _apply_separable(img, out_hw, mode):
     dtype = img.dtype
     x = img.astype(jnp.float32)
     if oh != h:
-        mh = _resize_matrix(h, oh, mode)
+        mh = jnp.asarray(_resize_matrix(h, oh, mode))
         x = jnp.einsum("oh,bhwc->bowc", mh, x)
     if ow != w:
-        mw = _resize_matrix(w, ow, mode)
+        mw = jnp.asarray(_resize_matrix(w, ow, mode))
         x = jnp.einsum("ow,bhwc->bhoc", mw, x)
     return x.astype(dtype)
 

@@ -20,18 +20,21 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=8)
 def _gauss_window(size=11, sigma=1.5):
-    """new_metrics.py:70-84 fspecial_gauss (2-D, normalized)."""
+    """new_metrics.py:70-84 fspecial_gauss (2-D, normalized).
+
+    Cached as numpy (a cached jnp constant created while tracing would leak a
+    tracer into later traces)."""
     ax = np.arange(-(size // 2) + 1, size // 2 + 1, dtype=np.float64)
     xx, yy = np.meshgrid(ax, ax, indexing="ij")
     g = np.exp(-((xx ** 2 + yy ** 2) / (2.0 * sigma ** 2)))
-    return jnp.asarray((g / g.sum()).astype(np.float32))
+    return (g / g.sum()).astype(np.float32)
 
 
 def _filter2d_valid(img, window):
-    """'valid' 2-D convolution per channel. img: (B,H,W,C); window: (k,k)."""
+    """'valid' 2-D convolution per channel. img: (B,H,W,C); window: (k,k) numpy."""
     k = window.shape[0]
     c = img.shape[-1]
-    w = jnp.broadcast_to(window[:, :, None, None], (k, k, 1, c))
+    w = jnp.broadcast_to(jnp.asarray(window)[:, :, None, None], (k, k, 1, c))
     # Gaussian is symmetric, so convolution == correlation.
     return jax.lax.conv_general_dilated(
         img,

@@ -70,6 +70,10 @@ class BaseOptions:
                                  "as-shipped trains only Task, I2D_model.py:143)")
         parser.add_argument("--num_devices", type=int, default=0,
                             help="limit the data mesh to the first N devices (0=all)")
+        parser.add_argument("--remat", action="store_true",
+                            help="jax.checkpoint the heavy nets in the train step "
+                                 "(trade ~30%% recompute for activation HBM; needed "
+                                 "for full-resolution SR fine-tune batches)")
         self.initialized = True
         return parser
 
