@@ -40,6 +40,12 @@ def main():
         except ImportError:
             print("wandb not available; falling back to console logging")
 
+    profile_dir = getattr(opt, "profile_dir", "")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+
     model = create_model(opt)
     dataset_cls = dataset_for_model(opt)
     dataset = create_dataset(opt, dataset_cls) if opt.do_train else None
@@ -106,6 +112,12 @@ def main():
 
         if not opt.do_train:
             break
+
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}")
 
 
 if __name__ == "__main__":
