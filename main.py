@@ -74,6 +74,23 @@ def main():
                 model.set_input(data)
                 model.optimize_parameters(total_iters, opt.update_ratio)
 
+                if (total_iters - opt.start_iter) % opt.display_freq == 0:
+                    # image panels (reference main.py:76-81): wandb figures, or
+                    # the HTML gallery when wandb is off. calculate() runs an
+                    # extra eval forward for the visuals; restore train metrics.
+                    train_metrics = model.metrics
+                    model.calculate(stage="train")
+                    visuals = model.get_current_visuals()
+                    model.metrics = train_metrics
+                    if wandb:
+                        from desr_tpu.utils import plots
+
+                        plot_fn = {"I2D": plots.plot_I2D, "main": plots.plot_main,
+                                   "translation": plots.plot_translation}[opt.model_type]
+                        plot_fn(wandb, visuals, total_iters, stage="train")
+                    else:
+                        visualizer.display_current_results(visuals, epoch)
+
                 if (total_iters - opt.start_iter) % opt.print_freq == 0:
                     losses = model.get_current_losses()
                     t_comp = (time.time() - iter_start_time) / opt.batch_size
