@@ -130,27 +130,82 @@ def gan_loss(prediction, target_is_real, mode="lsgan"):
     raise NotImplementedError(f"gan mode {mode} not implemented")
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=128)
+def _align_corners_matrix(in_size, out_size):
+    """(out, in) bilinear align_corners=True interpolation matrix (numpy —
+    never cache jnp values, see ops/resize.py)."""
+    if out_size == 1:
+        src = np.zeros((1,))
+    else:
+        src = np.arange(out_size) * ((in_size - 1) / (out_size - 1))
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = src - lo
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    np.add.at(m, (np.arange(out_size), lo), 1.0 - frac)
+    np.add.at(m, (np.arange(out_size), hi), frac)
+    return m
+
+
+def gradient_penalty(d_apply, real, fake, rng, gp_type="mixed", constant=1.0,
+                     lambda_gp=10.0, eps=1e-16):
+    """WGAN-GP gradient penalty (networks.py:282-316; defined but unused in
+    shipped reference configs). ``d_apply`` maps an NHWC batch to logits."""
+    if lambda_gp <= 0.0:
+        return jnp.zeros(()), None
+    if gp_type == "real":
+        interp = real
+    elif gp_type == "fake":
+        interp = fake
+    elif gp_type == "mixed":
+        alpha = jax.random.uniform(rng, (real.shape[0], 1, 1, 1), real.dtype)
+        interp = alpha * real + (1 - alpha) * fake
+    else:
+        raise NotImplementedError(gp_type)
+
+    def scalar_d(x):
+        return jnp.sum(d_apply(x))
+
+    grads = jax.grad(scalar_d)(interp)
+    flat = grads.reshape(real.shape[0], -1)
+    norm = jnp.linalg.norm(flat + eps, axis=1)
+    return jnp.mean(jnp.square(norm - constant)) * lambda_gp, grads
+
+
+def mean_matching_shift(rng, real, fake, direction, mu):
+    """Random depth-shift augmentation (translation_network.py:244-279
+    MeanMatching; unused in shipped configs). Shifts valid (> -1) pixels of
+    one side by U(0, mu) and clamps to [-1, 1]."""
+    shift = jax.random.uniform(rng, (), minval=0.0, maxval=mu)
+    if direction == "A2B":
+        mask = fake > -1.0
+        fake = jnp.clip(fake + shift * mask, -1.0, 1.0)
+    elif direction == "B2A":
+        mask = real > -1.0
+        real = jnp.clip(real + shift * mask, -1.0, 1.0)
+    else:
+        raise NotImplementedError("Specify direction")
+    return real, fake
+
+
 def _resize_bilinear_align_corners(img, out_hw):
-    """torch F.upsample(mode='bilinear', align_corners=True) equivalent (NHWC)."""
+    """torch F.upsample(mode='bilinear', align_corners=True) equivalent (NHWC).
+
+    Implemented as two dense matrix contractions (MXU) — integer-indexed
+    gathers are pathologically slow on TPU."""
     b, h, w, c = img.shape
     oh, ow = out_hw
-    dtype = img.dtype
-
-    def axis_weights(in_size, out_size):
-        if out_size == 1:
-            src = jnp.zeros((1,), dtype)
-        else:
-            src = jnp.arange(out_size, dtype=dtype) * ((in_size - 1) / (out_size - 1))
-        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
-        hi = jnp.minimum(lo + 1, in_size - 1)
-        frac = src - lo.astype(dtype)
-        return lo, hi, frac
-
-    lo_r, hi_r, fr_r = axis_weights(h, oh)
-    lo_c, hi_c, fr_c = axis_weights(w, ow)
-    top = img[:, lo_r, :, :] * (1 - fr_r)[None, :, None, None] + img[:, hi_r, :, :] * fr_r[None, :, None, None]
-    out = top[:, :, lo_c, :] * (1 - fr_c)[None, None, :, None] + top[:, :, hi_c, :] * fr_c[None, None, :, None]
-    return out
+    x = img.astype(jnp.float32)
+    if oh != h:
+        x = jnp.einsum("oh,bhwc->bowc", jnp.asarray(_align_corners_matrix(h, oh)), x)
+    if ow != w:
+        x = jnp.einsum("ow,bhwc->bhoc", jnp.asarray(_align_corners_matrix(w, ow)), x)
+    return x.astype(img.dtype)
 
 
 def scale_pyramid(img, num_scales):

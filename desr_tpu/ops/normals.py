@@ -107,6 +107,26 @@ def surface_normals_fov(depth, fov_deg=60.0, canvas_hw=(482, 642), eps=1e-8):
     return -crs / jnp.maximum(norm, eps)
 
 
+def _inv3x3(K):
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    Avoids jnp.linalg.inv's LU path, which is unsupported for f64 and slow for
+    tiny batched matrices on TPU."""
+    a, b, c = K[..., 0, 0], K[..., 0, 1], K[..., 0, 2]
+    d, e, f = K[..., 1, 0], K[..., 1, 1], K[..., 1, 2]
+    g, h, i = K[..., 2, 0], K[..., 2, 1], K[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
 def depth_to_points(depth01, K, crop, shift=0.5):
     """Unproject orthogonal depth into camera-space points.
 
@@ -125,7 +145,7 @@ def depth_to_points(depth01, K, crop, shift=0.5):
     uu = jnp.broadcast_to(u[:, None, :], (b, h, w))
     ones = jnp.ones_like(vv)
     pix = jnp.stack([uu, vv, ones], axis=-1)  # (B, H, W, 3)
-    Kinv = jnp.linalg.inv(K)
+    Kinv = _inv3x3(K)
     pts = jnp.einsum("blk,bhwk->bhwl", Kinv, pix)
     pts = pts / pts[..., 2:3]  # orthogonal depth convention
     return pts * depth01
