@@ -264,9 +264,61 @@ def default_translator_opt(**overrides):
     return opt
 
 
+class GeneratorI_F:
+    """image -> feature split generator (translation_network.py:587-597;
+    unused in shipped configs, kept for API surface parity)."""
+
+    def __init__(self, opt, use_bias):
+        norm_factory, _ = get_norm_layer(opt.norm, lineage="translation")
+        base_nc = opt.ngf_img_feature
+        nd = opt.n_downsampling
+        self.enc = _encoder(opt.input_nc_img, base_nc, norm_factory, use_bias, nd)
+        self.bottlenec = _bottleneck(base_nc, 6, norm_factory, use_bias, nd,
+                                     opt.dropout, use_dilation=True)
+        self.init_cfg = InitCfg(init_type=opt.init_type, gain_from_nonlinearity=True,
+                                nonlinearity="relu")
+
+    def init(self, key):
+        p = self.enc.init(jax.random.fold_in(key, 0), "enc.", self.init_cfg)
+        p.update(self.bottlenec.init(jax.random.fold_in(key, 1), "bottlenec.", self.init_cfg))
+        return p
+
+    def apply(self, params, x, ctx: Ctx = Ctx()):
+        x = self.enc.apply(params, x, "enc.", ctx)
+        return self.bottlenec.apply(params, x, "bottlenec.", ctx)
+
+
+class GeneratorF_D:
+    """feature -> depth split generator (translation_network.py:599-610)."""
+
+    def __init__(self, opt, use_bias):
+        norm_factory, _ = get_norm_layer(opt.norm, lineage="translation")
+        up_layer = _get_up_layer(opt.upsampling_type)
+        base_nc = opt.ngf_img_feature
+        nd = opt.n_downsampling
+        self.bottlenec = _bottleneck(base_nc, 9, norm_factory, use_bias, nd, opt.dropout)
+        self.dec = _decoder(base_nc, opt.output_nc_depth, norm_factory, use_bias,
+                            up_layer, nd, "depth")
+        self.init_cfg = InitCfg(init_type=opt.init_type, gain_from_nonlinearity=True,
+                                nonlinearity="relu")
+
+    def init(self, key):
+        p = self.bottlenec.init(jax.random.fold_in(key, 0), "bottlenec.", self.init_cfg)
+        p.update(self.dec.init(jax.random.fold_in(key, 1), "dec.", self.init_cfg))
+        return p
+
+    def apply(self, params, x, ctx: Ctx = Ctx()):
+        x = self.bottlenec.apply(params, x, "bottlenec.", ctx)
+        return self.dec.apply(params, x, "dec.", ctx)
+
+
 def define_Gen(opt, input_type, out_type="depth"):
     """Mirror of translation_network.py:577-585."""
     use_bias = opt.norm == "instance"
+    if input_type == "img" and out_type == "feature":
+        return GeneratorI_F(opt, use_bias)
+    if input_type == "feature" and out_type == "depth":
+        return GeneratorF_D(opt, use_bias)
     return TranslationGenerator(opt, input_type, use_bias)
 
 

@@ -55,6 +55,17 @@ def mkdirs(paths):
         os.makedirs(paths, exist_ok=True)
 
 
+def crop_indx(f_name):
+    """Decode the ssim-patch crop box from a Scannet_ssim filename
+    ``scene0000_00_<i>_<j>``: h = 64*i + 5, w = 64*j + 5, 320x320
+    (reference models/norms.py:167-174)."""
+    parts = f_name.split("_")
+    i, j = int(parts[-2]), int(parts[-1])
+    h_start = 64 * i + 5
+    w_start = 64 * j + 5
+    return h_start, h_start + 320, w_start, w_start + 320
+
+
 def diagnose_network(params, name="network"):
     """Mean absolute value probe (util/util.py:35-51 analog over param dicts)."""
     vals = [np.abs(np.asarray(v)).mean() for v in params.values()]
