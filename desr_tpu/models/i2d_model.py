@@ -92,16 +92,18 @@ class I2DModel(BaseModel):
 
         def losses(params, batch, rng, train):
             feats_syn, feats_real, pred_syn, pred_real = forward(params, batch, rng, train)
-            syn_d, real_d = batch["A_d"], batch["B_d"]
+            # planar loss tail (see MainModel layout note)
+            pred_syn_p, pred_real_p = pred_syn[..., 0], pred_real[..., 0]
+            syn_d, real_d = batch["A_d"][..., 0], batch["B_d"][..., 0]
             mask_syn = jnp.where(syn_d < -0.97, 0.0, 1.0)
             mask_real = jnp.where(real_d < -0.97, 0.0, 1.0)
             m = {}
-            m["task_syn"] = L.l1_loss(syn_d * mask_syn, pred_syn * mask_syn)
-            m["task_real"] = L.l1_loss(real_d * mask_real, pred_real * mask_real)
+            m["task_syn"] = L.l1_loss(syn_d * mask_syn, pred_syn_p * mask_syn)
+            m["task_real"] = L.l1_loss(real_d * mask_real, pred_real_p * mask_real)
             if opt.norm_loss:
                 # metric-only in the reference (I2D_model.py:217 vs :226)
-                m["syn_norms"] = L.l1_loss(NRM.surface_normals(syn_d),
-                                           NRM.surface_normals(pred_syn))
+                m["syn_norms"] = L.l1_loss(NRM.surface_normals_planar(syn_d),
+                                           NRM.surface_normals_planar(pred_syn_p))
             loss_g = (m["task_syn"] * opt.w_syn_l1 + m["task_real"] * opt.w_real_l1)
             loss_g = loss_g * opt.scale_G
             m["G"] = loss_g

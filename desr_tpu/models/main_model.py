@@ -145,19 +145,23 @@ class MainModel(BaseModel):
             task_ap = remat(lambda p, x: task.apply(p, x, ctx))
 
             syn_image, real_image = batch["A_i"].astype(dtype), batch["B_i"].astype(dtype)
-            syn_depth, real_depth = batch["A_d"], batch["B_d"]
+            # planar (B, H, W) depth maps for the mask/loss tail — TPU tiles
+            # the last two dims, so (B, H, W, 1) tensors would pad the 1-lane
+            # axis to 128 (measured ~25x slowdown of the loss tail)
+            syn_depth = batch["A_d"][..., 0]
+            real_depth = batch["B_d"][..., 0]
 
             real_hole_mask = DPT.hole_mask(real_depth, BORDER)
             real_mask = DPT.valid_mask(real_depth, BORDER)
             syn_mask = DPT.valid_mask(syn_depth, BORDER)
 
-            syn2real = ga_ap(params["G_A_d"], syn_depth.astype(dtype),
-                             syn_image).astype(jnp.float32)
+            syn2real = ga_ap(params["G_A_d"], batch["A_d"].astype(dtype),
+                             syn_image)[..., 0].astype(jnp.float32)
 
             feats_syn = i2df_ap(params["I2D_features"], syn_image)
             feats_real = i2df_ap(params["I2D_features"], real_image)
-            syn_dbi = i2d_ap(params["Image2Depth"], feats_syn).astype(jnp.float32)
-            real_dbi = i2d_ap(params["Image2Depth"], feats_real).astype(jnp.float32)
+            syn_dbi = i2d_ap(params["Image2Depth"], feats_syn)[..., 0].astype(jnp.float32)
+            real_dbi = i2d_ap(params["Image2Depth"], feats_real)[..., 0].astype(jnp.float32)
 
             if opt.use_masked:
                 n = 60 if train else 11
@@ -173,14 +177,14 @@ class MainModel(BaseModel):
                 depth_masked = real_depth
                 syn2real_masked = syn2real
 
-            syn_pair = jnp.concatenate([syn2real_masked, syn_dbi], axis=-1).astype(dtype)
-            real_pair = jnp.concatenate([depth_masked, real_dbi], axis=-1).astype(dtype)
+            syn_pair = jnp.stack([syn2real_masked, syn_dbi], axis=-1).astype(dtype)
+            real_pair = jnp.stack([depth_masked, real_dbi], axis=-1).astype(dtype)
             feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
             feat_real_d = depthf_ap(params["Depth_f"], real_pair)
             pred_syn = task_ap(params["Task"], jnp.concatenate(
-                [feats_syn, feat_syn_d, syn_pair, syn_image], axis=-1)).astype(jnp.float32)
+                [feats_syn, feat_syn_d, syn_pair, syn_image], axis=-1))[..., 0].astype(jnp.float32)
             pred_real = task_ap(params["Task"], jnp.concatenate(
-                [feats_real, feat_real_d, real_pair, real_image], axis=-1)).astype(jnp.float32)
+                [feats_real, feat_real_d, real_pair, real_image], axis=-1))[..., 0].astype(jnp.float32)
 
             return dict(
                 syn_image=batch["A_i"], real_image=batch["B_i"],
@@ -213,26 +217,26 @@ class MainModel(BaseModel):
             m["tv_syn_norm_old"] = m["tv_real_norm_old"] = zero
             m["syn_norms_old"] = m["syn_norms_holes"] = m["syn_norms"] = zero
             if opt.norm_loss:
+                mask1 = syn_mask[:, None]  # (B, 1, H, W) broadcast vs (B, 3, H, W)
                 # legacy image-space normals, x100 (main_model.py:343-352)
-                norm_syn_o = NRM.surface_normals(syn_depth) * 100
-                norm_syn_pred_o = NRM.surface_normals(pred_syn) * 100
-                norm_real_pred_o = NRM.surface_normals(pred_real) * 100
-                m["tv_syn_norm_old"] = L.tv_loss(norm_syn_pred_o) * 1e-7
-                m["tv_real_norm_old"] = L.tv_loss(norm_real_pred_o) * 1e-7
-                m["syn_norms_old"] = L.mse_loss(norm_syn_o * syn_mask,
-                                                norm_syn_pred_o * syn_mask)
+                norm_syn_o = NRM.surface_normals_planar(syn_depth) * 100
+                norm_syn_pred_o = NRM.surface_normals_planar(pred_syn) * 100
+                norm_real_pred_o = NRM.surface_normals_planar(pred_real) * 100
+                m["tv_syn_norm_old"] = L.tv_loss_planar(norm_syn_pred_o) * 1e-7
+                m["tv_real_norm_old"] = L.tv_loss_planar(norm_real_pred_o) * 1e-7
+                m["syn_norms_old"] = L.mse_loss(norm_syn_o * mask1,
+                                                norm_syn_pred_o * mask1)
                 # intrinsics-based normals (main_model.py:360-372)
                 K_A, K_B = batch["K_A"], batch["K_B"]
                 crop_A, crop_B = batch["crop_A"], batch["crop_B"]
-                norm_syn = NRM.surface_normals_from_K(syn_depth, K_A, crop_A)
-                norm_syn_pred = NRM.surface_normals_from_K(pred_syn, K_A, crop_A)
-                norm_real_pred = NRM.surface_normals_from_K(pred_real, K_B, crop_B)
-                m["tv_syn_norm"] = L.tv_loss(norm_syn_pred) * 1e-7
-                m["tv_real_norm"] = L.tv_loss(norm_real_pred) * 1e-7
-                m["syn_norms"] = L.l1_loss(norm_syn * syn_mask, norm_syn_pred * syn_mask)
-                m["syn_norms_holes"] = L.l1_loss(
-                    norm_syn * syn_mask * mask_syn_add_holes,
-                    norm_syn_pred * syn_mask * mask_syn_add_holes)
+                norm_syn = NRM.surface_normals_from_K_planar(syn_depth, K_A, crop_A)
+                norm_syn_pred = NRM.surface_normals_from_K_planar(pred_syn, K_A, crop_A)
+                norm_real_pred = NRM.surface_normals_from_K_planar(pred_real, K_B, crop_B)
+                m["tv_syn_norm"] = L.tv_loss_planar(norm_syn_pred) * 1e-7
+                m["tv_real_norm"] = L.tv_loss_planar(norm_real_pred) * 1e-7
+                m["syn_norms"] = L.l1_loss(norm_syn * mask1, norm_syn_pred * mask1)
+                mask2 = (syn_mask * mask_syn_add_holes)[:, None]
+                m["syn_norms_holes"] = L.l1_loss(norm_syn * mask2, norm_syn_pred * mask2)
 
             m["holes_syn"] = L.l1_loss(syn_depth * syn_mask * mask_syn_add_holes,
                                        pred_syn * syn_mask * mask_syn_add_holes)
@@ -265,7 +269,8 @@ class MainModel(BaseModel):
             if opt.norm_loss:
                 loss_g = loss_g + m["syn_norms"] * opt.w_syn_norm
             if opt.use_smooth_loss:
-                m["smooth"] = L.smooth_weight_loss(pred_real, f["real_image"], 3)
+                img_planar = jnp.moveaxis(f["real_image"], -1, 1)
+                m["smooth"] = L.smooth_weight_loss_planar(pred_real, img_planar, 3)
                 loss_g = loss_g + m["smooth"] * opt.w_smooth
 
             loss_g = loss_g * opt.scale_G
@@ -349,8 +354,8 @@ class MainModel(BaseModel):
         from desr_tpu.utils.util import save_uint16_png
 
         os.makedirs(self.opt.save_image_folder, exist_ok=True)
-        pred = np.asarray(f["pred_real_depth"])
+        pred = np.asarray(f["pred_real_depth"])  # planar (B, H, W)
         for i, path in enumerate(self._paths["B_paths"] or []):
             stem = str(path).split("/")[-1].split(".")[0]
-            out = np.clip((pred[i, 16:-16, :, 0] + 1) / 2, 0, 1)
+            out = np.clip((pred[i, 16:-16, :] + 1) / 2, 0, 1)
             save_uint16_png(out, os.path.join(self.opt.save_image_folder, f"{stem}.png"))

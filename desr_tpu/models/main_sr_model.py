@@ -36,7 +36,12 @@ from desr_tpu.ops import depth as DPT
 from desr_tpu.ops import losses as L
 from desr_tpu.ops import normals as NRM
 from desr_tpu.ops.optim import adam_init, adam_update
-from desr_tpu.ops.resize import resize_bicubic, resize_nearest
+from desr_tpu.ops.resize import (
+    resize_bicubic,
+    resize_bicubic_planar,
+    resize_nearest,
+    resize_nearest_planar,
+)
 
 
 class MainSRModel(MainModel):
@@ -73,20 +78,22 @@ class MainSRModel(MainModel):
             task_ap = remat(lambda p, x: task.apply(p, x, ctx))
 
             syn_image, real_image = batch["A_i"].astype(dtype), batch["B_i"].astype(dtype)
-            syn_depth, real_depth = batch["A_d"], batch["B_d"]  # HR
+            # planar (B, H, W) depth maps for the mask/loss tail (see MainModel)
+            syn_depth = batch["A_d"][..., 0]
+            real_depth = batch["B_d"][..., 0]
 
             real_hole_mask = DPT.hole_mask(real_depth, BORDER)
             real_mask = DPT.valid_mask(real_depth, BORDER)
             syn_mask = DPT.valid_mask(syn_depth, BORDER)
 
-            syn2real = ga_ap(params["G_A_d"], syn_depth.astype(dtype),
-                             syn_image).astype(jnp.float32)
+            syn2real = ga_ap(params["G_A_d"], batch["A_d"].astype(dtype),
+                             syn_image)[..., 0].astype(jnp.float32)
 
             def guidance(image):
                 lr_img = resize_bicubic(image.astype(jnp.float32), lr_hw).astype(dtype)
                 feats = i2df_ap(params["I2D_features"], lr_img)
-                dbi = i2d_ap(params["Image2Depth"], feats).astype(jnp.float32)
-                dbi_hr = resize_bicubic(dbi, hr_hw)
+                dbi = i2d_ap(params["Image2Depth"], feats)[..., 0].astype(jnp.float32)
+                dbi_hr = resize_bicubic_planar(dbi, hr_hw)
                 feats_hr = resize_bicubic(feats.astype(jnp.float32), hr_hw).astype(dtype)
                 return feats_hr, dbi_hr
 
@@ -110,17 +117,17 @@ class MainSRModel(MainModel):
                 depth_masked = real_depth
                 syn2real_masked = syn2real
 
-            real_pair = jnp.concatenate([depth_masked, real_dbi], axis=-1).astype(dtype)
+            real_pair = jnp.stack([depth_masked, real_dbi], axis=-1).astype(dtype)
             feat_real_d = depthf_ap(params["Depth_f"], real_pair)
             pred_real_hr = task_ap(params["Task"], jnp.concatenate(
-                [feats_real, feat_real_d, real_pair, real_image], axis=-1)).astype(jnp.float32)
+                [feats_real, feat_real_d, real_pair, real_image], axis=-1))[..., 0].astype(jnp.float32)
 
-            syn_pair = jnp.concatenate([syn2real_masked, syn_dbi], axis=-1).astype(dtype)
+            syn_pair = jnp.stack([syn2real_masked, syn_dbi], axis=-1).astype(dtype)
             feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
             pred_syn = task_ap(params["Task"], jnp.concatenate(
-                [feats_syn, feat_syn_d, syn_pair, syn_image], axis=-1)).astype(jnp.float32)
+                [feats_syn, feat_syn_d, syn_pair, syn_image], axis=-1))[..., 0].astype(jnp.float32)
 
-            pred_real = resize_bicubic(pred_real_hr, lr_hw)
+            pred_real = resize_bicubic_planar(pred_real_hr, lr_hw)
 
             return dict(
                 syn_image=batch["A_i"], real_image=batch["B_i"],
@@ -148,10 +155,10 @@ class MainSRModel(MainModel):
             pred_real_hr = f["pred_real_depth_hr"]  # HR
             syn_mask = f["syn_mask"]
 
-            # LR-resize the real branch (main_sr_model.py:394-398)
-            real_mask = resize_nearest(f["real_mask"], lr_hw)
-            real_hole_mask = resize_nearest(f["real_hole_mask"], lr_hw)
-            real_depth = resize_bicubic(f["real_depth"], lr_hw)
+            # LR-resize the real branch (main_sr_model.py:394-398); planar maps
+            real_mask = resize_nearest_planar(f["real_mask"], lr_hw)
+            real_hole_mask = resize_nearest_planar(f["real_hole_mask"], lr_hw)
+            real_depth = resize_bicubic_planar(f["real_depth"], lr_hw)
             real_image = resize_bicubic(f["real_image"], lr_hw)
 
             c = (f["syn2real_depth_masked"] < BORDER) | (f["gt_mask_syn"] < 0.1)
@@ -162,28 +169,28 @@ class MainSRModel(MainModel):
             m["tv_syn_norm_old"] = m["tv_real_norm_old"] = zero
             m["syn_norms_old"] = m["syn_norms_holes"] = m["syn_norms"] = zero
             if opt.norm_loss:
+                mask1 = syn_mask[:, None]  # broadcast over the 3 normal channels
                 # legacy image-space normals x100 (:400-410)
-                norm_syn_o = NRM.surface_normals(syn_depth) * 100
-                norm_syn_pred_o = NRM.surface_normals(pred_syn) * 100
-                norm_real_pred_hr_o = NRM.surface_normals(pred_real_hr) * 100
-                m["tv_syn_norm_old"] = L.tv_loss(norm_syn_pred_o) * 1e-7
-                m["tv_real_norm_old"] = L.tv_loss(norm_real_pred_hr_o) * 1e-7
+                norm_syn_o = NRM.surface_normals_planar(syn_depth) * 100
+                norm_syn_pred_o = NRM.surface_normals_planar(pred_syn) * 100
+                norm_real_pred_hr_o = NRM.surface_normals_planar(pred_real_hr) * 100
+                m["tv_syn_norm_old"] = L.tv_loss_planar(norm_syn_pred_o) * 1e-7
+                m["tv_real_norm_old"] = L.tv_loss_planar(norm_real_pred_hr_o) * 1e-7
                 m["syn_norms_old"] = L.l1_loss(norm_syn_o, norm_syn_pred_o)  # unmasked L1 (:410)
                 # K-based normals (:422-435)
                 K_A, K_B = batch["K_A"], batch["K_B"]
                 crop_A, crop_B = batch["crop_A"], batch["crop_B"]
-                norm_syn = NRM.surface_normals_from_K(syn_depth, K_A, crop_A)
-                norm_syn_pred = NRM.surface_normals_from_K(pred_syn, K_A, crop_A)
-                norm_real_pred = NRM.surface_normals_from_K(pred_real, K_B, crop_B)
+                norm_syn = NRM.surface_normals_from_K_planar(syn_depth, K_A, crop_A)
+                norm_syn_pred = NRM.surface_normals_from_K_planar(pred_syn, K_A, crop_A)
+                norm_real_pred = NRM.surface_normals_from_K_planar(pred_real, K_B, crop_B)
                 # as-shipped: HR real pred normals use K_A/crop_A (:431)
-                norm_real_pred_hr = NRM.surface_normals_from_K(pred_real_hr, K_A, crop_A)
-                m["tv_syn_norm"] = L.tv_loss(norm_syn_pred) * 1e-7
-                m["tv_real_norm"] = L.tv_loss(norm_real_pred) * 1e-7
+                norm_real_pred_hr = NRM.surface_normals_from_K_planar(pred_real_hr, K_A, crop_A)
+                m["tv_syn_norm"] = L.tv_loss_planar(norm_syn_pred) * 1e-7
+                m["tv_real_norm"] = L.tv_loss_planar(norm_real_pred) * 1e-7
                 # as-shipped: syn normals vs HR REAL pred normals, MSE (:434)
-                m["syn_norms"] = L.mse_loss(norm_syn * syn_mask, norm_real_pred_hr * syn_mask)
-                m["syn_norms_holes"] = L.l1_loss(
-                    norm_syn * syn_mask * mask_syn_add_holes,
-                    norm_syn_pred * syn_mask * mask_syn_add_holes)
+                m["syn_norms"] = L.mse_loss(norm_syn * mask1, norm_real_pred_hr * mask1)
+                mask2 = (syn_mask * mask_syn_add_holes)[:, None]
+                m["syn_norms_holes"] = L.l1_loss(norm_syn * mask2, norm_syn_pred * mask2)
 
             m["holes_syn"] = L.l1_loss(syn_depth * syn_mask * mask_syn_add_holes,
                                        pred_syn * syn_mask * mask_syn_add_holes)
@@ -192,7 +199,7 @@ class MainSRModel(MainModel):
             m["task_syn"] = L.l1_loss(syn_depth * syn_mask, pred_syn * syn_mask)
             m["task_real_by_depth"] = L.l1_loss(real_depth * real_mask, pred_real * real_mask)
             # as-shipped: anchored to nearest-resized SYN depth (:452)
-            syn_depth_lr = resize_nearest(syn_depth, lr_hw)
+            syn_depth_lr = resize_nearest_planar(syn_depth, lr_hw)
             m["task_real_by_image"] = L.l1_loss(syn_depth_lr * real_hole_mask,
                                                 pred_real * real_hole_mask)
 
@@ -208,7 +215,7 @@ class MainSRModel(MainModel):
 
             if opt.use_masked:
                 mask_real_add_holes = jnp.where(f["gt_mask_real"] > 0.1, 0.0, 1.0)
-                mask_real_add_holes = resize_nearest(mask_real_add_holes, lr_hw)
+                mask_real_add_holes = resize_nearest_planar(mask_real_add_holes, lr_hw)
                 m["holes_real"] = L.l1_loss(real_depth * mask_real_add_holes,
                                             pred_real * mask_real_add_holes)
                 m["holes_real_l2"] = L.mse_loss(real_depth * mask_real_add_holes,
@@ -218,7 +225,8 @@ class MainSRModel(MainModel):
             if opt.norm_loss:
                 loss_g = loss_g + m["syn_norms"] * opt.w_syn_norm
             if opt.use_smooth_loss:
-                m["smooth"] = L.smooth_weight_loss(pred_real, real_image, 3)
+                img_planar = jnp.moveaxis(real_image, -1, 1)
+                m["smooth"] = L.smooth_weight_loss_planar(pred_real, img_planar, 3)
                 loss_g = loss_g + m["smooth"] * opt.w_smooth
 
             loss_g = loss_g * opt.scale_G
@@ -239,8 +247,8 @@ class MainSRModel(MainModel):
         from desr_tpu.utils.util import save_uint16_png
 
         os.makedirs(self.opt.save_image_folder, exist_ok=True)
-        pred = np.asarray(f["pred_real_depth_hr"])
+        pred = np.asarray(f["pred_real_depth_hr"])  # planar (B, H, W)
         for i, path in enumerate(self._paths["B_paths"] or []):
             stem = str(path).split("/")[-1].split(".")[0]
-            out = np.clip((pred[i, 32:-32, :, 0] + 1) / 2, 0, 1)
+            out = np.clip((pred[i, 32:-32, :] + 1) / 2, 0, 1)
             save_uint16_png(out, os.path.join(self.opt.save_image_folder, f"{stem}.png"))

@@ -31,7 +31,7 @@ from desr_tpu.models import translation_networks as TN
 from desr_tpu.models.base_model import BaseModel, split_trainable
 from desr_tpu.models.layers import Ctx
 from desr_tpu.ops import losses as L
-from desr_tpu.ops.normals import surface_normals_fov
+from desr_tpu.ops.normals import surface_normals_fov_planar
 from desr_tpu.ops.optim import adam_init, adam_update
 
 HOLE_BORDER = -0.98  # translation_model.py:324-326
@@ -153,40 +153,42 @@ class TranslationModel(BaseModel):
         depth_only_B = opt.inp_B == "depth"
 
         def gen_forward(params_g, batch, rng, train):
+            # depth maps are planar (B, H, W) in f; NHWC only at net boundaries
             ctx = Ctx(train=train, rng=rng, dtype=dtype)
             depth_A, img_A = batch["A_depth"], batch["A_img"].astype(dtype)
             depth_B, img_B = batch["B_depth"], batch["B_img"].astype(dtype)
-            f = {"real_depth_A": depth_A, "real_depth_B": depth_B,
+            dA, dB = depth_A[..., 0], depth_B[..., 0]
+            f = {"real_depth_A": dA, "real_depth_B": dB,
                  "real_img_A": batch["A_img"], "real_img_B": batch["B_img"]}
-            f["hole_mask_A"] = depth_A <= HOLE_BORDER
-            fake_B = g_a.apply(params_g["G_A"], depth_A.astype(dtype), img_A, ctx).astype(jnp.float32)
+            f["hole_mask_A"] = dA <= HOLE_BORDER
+            fake_B = g_a.apply(params_g["G_A"], depth_A.astype(dtype), img_A, ctx)[..., 0].astype(jnp.float32)
             if depth_only_B:
-                fake_A = g_b.apply(params_g["G_B"], depth_B.astype(dtype), None, ctx).astype(jnp.float32)
+                fake_A = g_b.apply(params_g["G_B"], depth_B.astype(dtype), None, ctx)[..., 0].astype(jnp.float32)
             else:
-                fake_A = g_b.apply(params_g["G_B"], depth_B.astype(dtype), img_B, ctx).astype(jnp.float32)
+                fake_A = g_b.apply(params_g["G_B"], depth_B.astype(dtype), img_B, ctx)[..., 0].astype(jnp.float32)
             f["fake_depth_B"], f["fake_depth_A"] = fake_B, fake_A
             f["hole_mask_B"] = fake_A <= HOLE_BORDER
-            f["real_norm_A"] = surface_normals_fov(depth_A)
-            f["real_norm_B"] = surface_normals_fov(depth_B)
-            f["fake_norm_A"] = surface_normals_fov(fake_A)
-            f["fake_norm_B"] = surface_normals_fov(fake_B)
+            f["real_norm_A"] = surface_normals_fov_planar(dA)
+            f["real_norm_B"] = surface_normals_fov_planar(dB)
+            f["fake_norm_A"] = surface_normals_fov_planar(fake_A)
+            f["fake_norm_B"] = surface_normals_fov_planar(fake_B)
             if opt.use_cycle_A:
                 if depth_only_B:
-                    rec_A = g_b.apply(params_g["G_B"], fake_B.astype(dtype), None, ctx)
+                    rec_A = g_b.apply(params_g["G_B"], fake_B[..., None].astype(dtype), None, ctx)
                 else:
-                    rec_A = g_b.apply(params_g["G_B"], fake_B.astype(dtype), img_A, ctx)
-                f["rec_depth_A"] = rec_A.astype(jnp.float32)
-                f["rec_norm_A"] = surface_normals_fov(f["rec_depth_A"])
+                    rec_A = g_b.apply(params_g["G_B"], fake_B[..., None].astype(dtype), img_A, ctx)
+                f["rec_depth_A"] = rec_A[..., 0].astype(jnp.float32)
+                f["rec_norm_A"] = surface_normals_fov_planar(f["rec_depth_A"])
             if opt.use_cycle_B:
-                rec_B = g_a.apply(params_g["G_A"], fake_A.astype(dtype), img_B, ctx)
-                f["rec_depth_B"] = rec_B.astype(jnp.float32)
-                f["rec_norm_B"] = surface_normals_fov(f["rec_depth_B"])
+                rec_B = g_a.apply(params_g["G_A"], fake_A[..., None].astype(dtype), img_B, ctx)
+                f["rec_depth_B"] = rec_B[..., 0].astype(jnp.float32)
+                f["rec_norm_B"] = surface_normals_fov_planar(f["rec_depth_B"])
             if train and opt.l_identity > 0:
-                f["idt_A"] = g_a.apply(params_g["G_A"], depth_B.astype(dtype), img_B, ctx).astype(jnp.float32)
+                f["idt_A"] = g_a.apply(params_g["G_A"], depth_B.astype(dtype), img_B, ctx)[..., 0].astype(jnp.float32)
                 if depth_only_B:
-                    f["idt_B"] = g_b.apply(params_g["G_B"], depth_A.astype(dtype), None, ctx).astype(jnp.float32)
+                    f["idt_B"] = g_b.apply(params_g["G_B"], depth_A.astype(dtype), None, ctx)[..., 0].astype(jnp.float32)
                 else:
-                    f["idt_B"] = g_b.apply(params_g["G_B"], depth_A.astype(dtype), img_A, ctx).astype(jnp.float32)
+                    f["idt_B"] = g_b.apply(params_g["G_B"], depth_A.astype(dtype), img_A, ctx)[..., 0].astype(jnp.float32)
             return f
 
         return gen_forward
@@ -199,6 +201,11 @@ class TranslationModel(BaseModel):
         ctx_d = Ctx(train=True, dtype=dtype)
 
         def d_apply(params, name, x):
+            # planar -> NHWC at the discriminator conv boundary
+            if x.ndim == 3:
+                x = x[..., None]
+            elif x.ndim == 4 and x.shape[1] == 3:
+                x = jnp.moveaxis(x, 1, -1)
             return self.nets[name].apply(params[name], x.astype(dtype), ctx_d).astype(jnp.float32)
 
         def g_losses(f, params_d, weights):
@@ -215,13 +222,13 @@ class TranslationModel(BaseModel):
             if opt.use_cycle_A:
                 not_hole = ~f["hole_mask_A"]
                 m["cycle_A"] = L.masked_l1_loss(f["rec_depth_A"], f["real_depth_A"], not_hole) * weights["l_cycle_A"]
-                m["cycle_n_A"] = L.masked_cos_sim_loss(
+                m["cycle_n_A"] = L.masked_cos_sim_loss_planar(
                     f["rec_norm_A"], f["real_norm_A"],
-                    jnp.repeat(not_hole, 3, axis=-1)) * opt.l_normal * weights["l_cycle_A"]
+                    jnp.repeat(not_hole[:, None], 3, axis=1)) * opt.l_normal * weights["l_cycle_A"]
                 loss_A = loss_A + m["cycle_A"] + m["cycle_n_A"]
             if opt.use_cycle_B:
                 m["cycle_B"] = L.l1_loss(f["rec_depth_B"], f["real_depth_B"]) * weights["l_cycle_B"]
-                m["cycle_n_B"] = L.cos_sim_loss(
+                m["cycle_n_B"] = L.cos_sim_loss_planar(
                     f["rec_norm_B"], f["real_norm_B"]) * opt.l_normal * weights["l_cycle_B"]
                 loss_B = loss_B + m["cycle_B"] + m["cycle_n_B"]
             if opt.l_identity > 0:
@@ -240,7 +247,7 @@ class TranslationModel(BaseModel):
                                                     ~f["hole_mask_B"]) * opt.l_mean_B
                 loss_B = loss_B + m["mean_dif_B"]
             if opt.l_tv_A > 0:
-                m["tv_norm_A"] = L.tv_norm(f["fake_norm_B"]) * opt.l_tv_A
+                m["tv_norm_A"] = L.tv_norm_planar(f["fake_norm_B"]) * opt.l_tv_A
                 loss_A = loss_A + m["tv_norm_A"]
             m["depth_range_A"] = L.masked_l1_loss(f["fake_depth_B"], f["real_depth_A"],
                                                   ~f["hole_mask_A"]) * weights["l_depth_A"]

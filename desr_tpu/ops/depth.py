@@ -61,20 +61,22 @@ def hole_mask(depth, border=-0.97):
 def valid_mask(depth, border=-0.97):
     """1.0 where no hole exists in the 3x3 neighborhood, else 0.0.
 
-    The reference computes this with four sequential in-place shifted adds of
-    the hole mask followed by `< 1` (models/main_model.py:209-215). The net
-    effect of that sequence is exactly a 3x3 box dilation of the hole mask
-    followed by logical-not, which we implement with a max-reduce window (one
-    fused XLA reduce-window instead of eight shifted adds).
+    Accepts (B, H, W) planar or (B, H, W, 1) NHWC depth. The reference
+    computes this with four sequential in-place shifted adds of the hole mask
+    followed by `< 1` (models/main_model.py:209-215). The net effect of that
+    sequence is exactly a 3x3 box dilation of the hole mask followed by
+    logical-not, implemented here with one fused XLA reduce-window.
     """
     holes = hole_mask(depth, border)
+    if depth.ndim == 3:
+        window, strides = (1, 3, 3), (1, 1, 1)
+        padding = ((0, 0), (1, 1), (1, 1))
+    else:
+        window, strides = (1, 3, 3, 1), (1, 1, 1, 1)
+        padding = ((0, 0), (1, 1), (1, 1), (0, 0))
     dilated = jax.lax.reduce_window(
-        holes,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        holes, -jnp.inf, jax.lax.max,
+        window_dimensions=window, window_strides=strides, padding=padding,
     )
     return (1.0 - dilated).astype(depth.dtype)
 
@@ -106,7 +108,12 @@ def random_rect_holes(
     (np.random.choice(replace=False)); we sample with replacement. For 10-60
     corners over >=384*512 grids the collision probability is negligible and
     the hole-statistics are unchanged, while keeping the op shape-static.
+
+    Accepts (B, H, W) planar or (B, H, W, 1) NHWC masks.
     """
+    planar = base_valid_mask.ndim == 3
+    if planar:
+        base_valid_mask = base_valid_mask[..., None]
     b, h, w, _ = base_valid_mask.shape
     k_num, k_x, k_y, k_sx, k_sy, k_bx, k_by = jax.random.split(rng, 7)
 
@@ -143,7 +150,8 @@ def random_rect_holes(
     covered = (counts > 0.5)[..., None]
     base_valid = base_valid_mask > 0.05
     punched = base_valid & covered
-    return jnp.where(punched, 0.0, 1.0).astype(base_valid_mask.dtype)
+    out = jnp.where(punched, 0.0, 1.0).astype(base_valid_mask.dtype)
+    return out[..., 0] if planar else out
 
 
 def punch_holes(depth, gt_mask, fill=-1.0):

@@ -208,6 +208,96 @@ def _resize_bilinear_align_corners(img, out_hw):
     return x.astype(img.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Planar variants: tensors with (H, W) as the LAST TWO dims — (B, H, W) depth
+# maps and (B, C, H, W) normal/image maps. TPU tiles the minor two dims, so
+# NHWC tensors with C in {1, 3} waste 128x/43x of every lane; the models' loss
+# tails run on these planar forms.
+# ---------------------------------------------------------------------------
+
+
+def tv_loss_planar(img):
+    """Unnormalized TV over the last two (spatial) dims."""
+    w_var = jnp.sum(jnp.square(img[..., :, :-1] - img[..., :, 1:]))
+    h_var = jnp.sum(jnp.square(img[..., :-1, :] - img[..., 1:, :]))
+    return h_var + w_var
+
+
+def tv_norm_planar(x, surf_normal=True):
+    """TV_norm on (B, C, H, W) (translation_network.py:302-311)."""
+    if surf_normal:
+        x = x[:, :2]
+    tv_h = jnp.sum(jnp.square(x[..., 1:, :] - x[..., :-1, :]))
+    tv_w = jnp.sum(jnp.square(x[..., :, 1:] - x[..., :, :-1]))
+    return (tv_h + tv_w) / x.size
+
+
+def cos_sim_loss_planar(x, y, eps=1e-8):
+    """mean(1 - cos) over channel axis 1 for (B, C, H, W) maps."""
+    from desr_tpu.ops.normals import safe_norm
+
+    nx = jnp.maximum(safe_norm(x, axis=1, keepdims=False), eps)
+    ny = jnp.maximum(safe_norm(y, axis=1, keepdims=False), eps)
+    cos = jnp.sum(x * y, axis=1) / (nx * ny)
+    return jnp.mean(1.0 - cos)
+
+
+def masked_cos_sim_loss_planar(x, y, mask_b3hw, compat_bug=True, eps=1e-8):
+    """Masked 1-cos on (B, C, H, W); mask (B, C, H, W) (see masked_cos_sim_loss)."""
+    from desr_tpu.ops.normals import safe_norm
+
+    nx = jnp.maximum(safe_norm(x, axis=1, keepdims=False), eps)
+    ny = jnp.maximum(safe_norm(y, axis=1, keepdims=False), eps)
+    cos = jnp.sum(x * y, axis=1) / (nx * ny)
+    loss = (1.0 - cos)[:, None]
+    mask = mask_b3hw.astype(x.dtype)
+    denom_eps = 1e6 if compat_bug else 1e-6
+    return jnp.sum(loss * mask) / (jnp.sum(mask) + denom_eps)
+
+
+def _resize_ac_planar(x, out_hw):
+    """align_corners=True bilinear on the last two dims of (..., H, W)."""
+    h, w = x.shape[-2], x.shape[-1]
+    oh, ow = out_hw
+    y = x.astype(jnp.float32)
+    if oh != h:
+        y = jnp.einsum("oh,...hw->...ow", jnp.asarray(_align_corners_matrix(h, oh)), y)
+    if ow != w:
+        # output spec "...ho" already yields (..., H, OW)
+        y = jnp.einsum("ow,...hw->...ho", jnp.asarray(_align_corners_matrix(w, ow)), y)
+    return y.astype(x.dtype)
+
+
+def scale_pyramid_planar(img, num_scales):
+    """Bilinear (align_corners=True) pyramid on (..., H, W), smallest first."""
+    h, w = img.shape[-2], img.shape[-1]
+    scaled = [img]
+    for i in range(1, num_scales):
+        ratio = 2 ** i
+        scaled.append(_resize_ac_planar(img, (h // ratio, w // ratio)))
+    scaled.reverse()
+    return scaled
+
+
+def smooth_weight_loss_planar(depth_bhw, image_b3hw, num_scales=3):
+    """Image-gradient-weighted depth smoothness on planar maps
+    (models/main_model.py:52-73)."""
+    images = scale_pyramid_planar(image_b3hw, num_scales)
+    depths = scale_pyramid_planar(depth_bhw, num_scales)
+    total = 0.0
+    for i in range(num_scales):
+        d, im = depths[i], images[i]
+        dgx = d[..., :-1, :] - d[..., 1:, :]
+        dgy = d[..., :, :-1] - d[..., :, 1:]
+        igx = im[..., :-1, :] - im[..., 1:, :]
+        igy = im[..., :, :-1] - im[..., :, 1:]
+        wx = jnp.exp(-jnp.mean(jnp.abs(igx), axis=1))
+        wy = jnp.exp(-jnp.mean(jnp.abs(igy), axis=1))
+        total = total + jnp.mean(jnp.abs(dgx * wx)) / (2 ** i)
+        total = total + jnp.mean(jnp.abs(dgy * wy)) / (2 ** i)
+    return total
+
+
 def scale_pyramid(img, num_scales):
     """Bilinear (align_corners=True) pyramid, smallest scale first.
 

@@ -53,19 +53,28 @@ def np_gradient(f, axis):
     return jnp.moveaxis(out, 0, axis)
 
 
+def surface_normals_planar(depth_bhw, eps=1e-6):
+    """Image-space normals on planar depth (B, H, W) -> (B, 3, H, W).
+
+    Channel-FIRST output: TPU tiles the last two dims, so (B, 3, H, W) keeps
+    (H, W) unpadded where (B, H, W, 3) would pad the 3-lane axis to 128
+    (43x memory amplification on every loss-tail intermediate).
+    """
+    dzdx = -np_gradient(depth_bhw, axis=1)  # rows (H)
+    dzdy = -np_gradient(depth_bhw, axis=2)  # cols (W)
+    ones = jnp.ones_like(depth_bhw)
+    n = jnp.stack([dzdx, dzdy, ones], axis=1)
+    norm = safe_norm(n, axis=1)
+    return n / (norm + eps)
+
+
 def surface_normals(depth, eps=1e-6):
-    """Image-space normals: normalize([-dD/drow, -dD/dcol, 1]).
+    """Image-space normals: normalize([-dD/drow, -dD/dcol, 1]). NHWC wrapper.
 
     Reference: models/norms.py:180-190 (`dzdx` = gradient over torch axis 2 =
     rows, `dzdy` = axis 3 = cols; channel order [dzdx, dzdy, 1]).
     """
-    d = depth[..., 0]
-    dzdx = -np_gradient(d, axis=1)  # rows (H)
-    dzdy = -np_gradient(d, axis=2)  # cols (W)
-    ones = jnp.ones_like(d)
-    n = jnp.stack([dzdx, dzdy, ones], axis=-1)
-    norm = safe_norm(n)
-    return n / (norm + eps)
+    return jnp.moveaxis(surface_normals_planar(depth[..., 0], eps), 1, -1)
 
 
 def _fov_grid(h, w, fov_deg, dtype):
@@ -79,9 +88,10 @@ def _fov_grid(h, w, fov_deg, dtype):
     return jnp.stack([gx, gy, ones], axis=-1)  # (H, W, 3)
 
 
-def surface_normals_fov(depth, fov_deg=60.0, canvas_hw=(482, 642), eps=1e-8):
-    """Fixed-FOV surface normals of the translation stage.
+def surface_normals_fov_planar(depth_bhw, fov_deg=60.0, canvas_hw=(482, 642), eps=1e-8):
+    """Fixed-FOV surface normals of the translation stage, planar.
 
+    (B, H, W) depth -> (B, 3, H, W) normals.
     Reference: models/translation_network.py:329-360. Reproduces the as-shipped
     quirks exactly: the crop into the 482x642 canvas uses offset ``p + 1`` (one
     past center), and the horizontal/vertical difference windows are offset by
@@ -89,22 +99,28 @@ def surface_normals_fov(depth, fov_deg=60.0, canvas_hw=(482, 642), eps=1e-8):
     tensor). These normals feed the normal discriminators, so weight parity
     requires bit-level structural parity here.
     """
-    b, h, w, _ = depth.shape
+    b, h, w = depth_bhw.shape
     ch, cw = canvas_hw
-    grid = _fov_grid(ch, cw, fov_deg, depth.dtype)
+    grid = _fov_grid(ch, cw, fov_deg, depth_bhw.dtype)  # (H, W, 3)
     ph = (ch - h) // 2
     pw = (cw - w) // 2
-    grid = grid[ph + 1 : ph + 1 + h, pw + 1 : pw + 1 + w, :]
+    grid = jnp.moveaxis(grid[ph + 1 : ph + 1 + h, pw + 1 : pw + 1 + w, :], -1, 0)
 
-    v = depth * grid[None]  # (B, H, W, 3)
-    pv = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    v = depth_bhw[:, None] * grid[None]  # (B, 3, H, W)
+    pv = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
     # gx: cols [0:w] - cols [2:w+2], rows [0:h] of the padded tensor.
-    gx = (pv[:, 0:h, 0:w, :] - pv[:, 0:h, 2 : 2 + w, :]) / 2.0
+    gx = (pv[:, :, 0:h, 0:w] - pv[:, :, 0:h, 2 : 2 + w]) / 2.0
     # gy: rows [2:h+2] - rows [0:h], cols [0:w] of the padded tensor.
-    gy = (pv[:, 2 : 2 + h, 0:w, :] - pv[:, 0:h, 0:w, :]) / 2.0
-    crs = jnp.cross(gx, gy, axis=-1)
-    norm = safe_norm(crs)
+    gy = (pv[:, :, 2 : 2 + h, 0:w] - pv[:, :, 0:h, 0:w]) / 2.0
+    crs = jnp.cross(gx, gy, axis=1)
+    norm = safe_norm(crs, axis=1)
     return -crs / jnp.maximum(norm, eps)
+
+
+def surface_normals_fov(depth, fov_deg=60.0, canvas_hw=(482, 642), eps=1e-8):
+    """NHWC wrapper around surface_normals_fov_planar."""
+    return jnp.moveaxis(
+        surface_normals_fov_planar(depth[..., 0], fov_deg, canvas_hw, eps), 1, -1)
 
 
 def _inv3x3(K):
@@ -127,15 +143,14 @@ def _inv3x3(K):
     return adj / det[..., None, None]
 
 
-def depth_to_points(depth01, K, crop, shift=0.5):
-    """Unproject orthogonal depth into camera-space points.
+def depth_to_points_planar(depth01_bhw, K, crop, shift=0.5):
+    """Unproject orthogonal planar depth into camera-space points (B, 3, H, W).
 
-    depth01: (B, H, W, 1) depth in [0, 1]; K: (B, 3, 3); crop: (B, 4) rows
-    [h0, h1, w0, w1] in pixels. Returns (B, H, W, 3).
-    Reference: models/norms.py:75-101 (``batch_pc``).
+    depth01_bhw: (B, H, W) depth in [0, 1]; K: (B, 3, 3); crop: (B, 4) rows
+    [h0, h1, w0, w1] in pixels. Reference: models/norms.py:75-101 (``batch_pc``).
     """
-    b, h, w, _ = depth01.shape
-    dtype = depth01.dtype
+    b, h, w = depth01_bhw.shape
+    dtype = depth01_bhw.dtype
     K = K.astype(dtype)
     crop = crop.astype(dtype)
     # Per-sample pixel grids: v over rows crop[:,0]..crop[:,1], u over cols.
@@ -144,20 +159,20 @@ def depth_to_points(depth01, K, crop, shift=0.5):
     vv = jnp.broadcast_to(v[:, :, None], (b, h, w))
     uu = jnp.broadcast_to(u[:, None, :], (b, h, w))
     ones = jnp.ones_like(vv)
-    pix = jnp.stack([uu, vv, ones], axis=-1)  # (B, H, W, 3)
+    pix = jnp.stack([uu, vv, ones], axis=1)  # (B, 3, H, W)
     Kinv = _inv3x3(K)
-    pts = jnp.einsum("blk,bhwk->bhwl", Kinv, pix)
-    pts = pts / pts[..., 2:3]  # orthogonal depth convention
-    return pts * depth01
+    pts = jnp.einsum("blk,bkhw->blhw", Kinv, pix)
+    pts = pts / pts[:, 2:3]  # orthogonal depth convention
+    return pts * depth01_bhw[:, None]
 
 
-def points_to_normals(coords, eps=None):
-    """First-order normals of a point cloud via np.gradient, L2-normalized.
+def points_to_normals_planar(coords, eps=None):
+    """First-order normals of a planar point cloud (B, 3, H, W) -> (B, 3, H, W).
 
-    coords: (B, H, W, 3). Reference: models/norms.py:29-73 (order2=True path).
-    Normalization matches torch.nn.functional.normalize (x / max(||x||, 1e-12)).
+    Reference: models/norms.py:29-73 (order2=True path). Normalization matches
+    torch.nn.functional.normalize (x / max(||x||, 1e-12)).
     """
-    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
     dxdu = np_gradient(x, axis=2)
     dydu = np_gradient(y, axis=2)
     dzdu = np_gradient(z, axis=2)
@@ -167,21 +182,36 @@ def points_to_normals(coords, eps=None):
     n_x = dydv * dzdu - dydu * dzdv
     n_y = dzdv * dxdu - dzdu * dxdv
     n_z = dxdv * dydu - dxdu * dydv
-    n = jnp.stack([n_x, n_y, n_z], axis=-1)
-    norm = safe_norm(n)
+    n = jnp.stack([n_x, n_y, n_z], axis=1)
+    norm = safe_norm(n, axis=1)
     if eps is None:
         eps = jnp.asarray(1e-12, n.dtype)
     return n / jnp.maximum(norm, eps)
 
 
-def surface_normals_from_K(depth, K, crop, shift=0.5, dtype=jnp.float32):
-    """Intrinsics-based surface normals (``SurfaceNormals_new``).
+def surface_normals_from_K_planar(depth_bhw, K, crop, shift=0.5, dtype=jnp.float32):
+    """Intrinsics-based surface normals (``SurfaceNormals_new``), planar.
 
-    depth: (B, H, W, 1) in [-1, 1]; converted internally to [0, 1]
-    (models/norms.py:103-108). The reference requires float64; here `dtype`
-    defaults to float32 for TPU speed — tests validate fp32 vs the fp64 oracle
-    to < 2e-3 max normal-component error on realistic depth ranges.
+    depth_bhw: (B, H, W) in [-1, 1]; converted internally to [0, 1]
+    (models/norms.py:103-108). Returns (B, 3, H, W) float32. The reference
+    requires float64; `dtype` defaults to float32 for TPU speed — tests
+    validate fp32 vs the fp64 oracle to < 2e-3 max component error.
     """
-    d = (depth.astype(dtype) + 1.0) / 2.0
-    pts = depth_to_points(d, K, crop, shift=shift)
-    return points_to_normals(pts).astype(jnp.float32)
+    d = (depth_bhw.astype(dtype) + 1.0) / 2.0
+    pts = depth_to_points_planar(d, K, crop, shift=shift)
+    return points_to_normals_planar(pts).astype(jnp.float32)
+
+
+# NHWC wrappers (used by tests / external callers)
+
+def depth_to_points(depth01, K, crop, shift=0.5):
+    return jnp.moveaxis(depth_to_points_planar(depth01[..., 0], K, crop, shift), 1, -1)
+
+
+def points_to_normals(coords, eps=None):
+    return jnp.moveaxis(points_to_normals_planar(jnp.moveaxis(coords, -1, 1), eps), 1, -1)
+
+
+def surface_normals_from_K(depth, K, crop, shift=0.5, dtype=jnp.float32):
+    return jnp.moveaxis(
+        surface_normals_from_K_planar(depth[..., 0], K, crop, shift, dtype), 1, -1)

@@ -81,16 +81,42 @@ def _apply_separable(img, out_hw, mode):
     return x.astype(dtype)
 
 
+def _apply_separable_planar(x, out_hw, mode):
+    """Resize the LAST TWO dims of (..., H, W) — the TPU-friendly layout."""
+    h, w = x.shape[-2], x.shape[-1]
+    oh, ow = out_hw
+    y = x.astype(jnp.float32)
+    if oh != h:
+        y = jnp.einsum("oh,...hw->...ow", jnp.asarray(_resize_matrix(h, oh, mode)), y)
+    if ow != w:
+        # output spec "...ho" yields (..., H', OW) directly
+        y = jnp.einsum("ow,...hw->...ho", jnp.asarray(_resize_matrix(w, ow, mode)), y)
+    return y.astype(x.dtype)
+
+
 def resize_bicubic(img, out_hw):
-    """torch F.interpolate(mode='bicubic', align_corners=False) equivalent."""
+    """torch F.interpolate(mode='bicubic', align_corners=False) equivalent (NHWC)."""
     return _apply_separable(img, out_hw, "bicubic")
 
 
 def resize_bilinear(img, out_hw):
-    """torch F.interpolate(mode='bilinear', align_corners=False) equivalent."""
+    """torch F.interpolate(mode='bilinear', align_corners=False) equivalent (NHWC)."""
     return _apply_separable(img, out_hw, "bilinear")
 
 
 def resize_nearest(img, out_hw):
-    """torch F.interpolate(mode='nearest') equivalent."""
+    """torch F.interpolate(mode='nearest') equivalent (NHWC)."""
     return _apply_separable(img, out_hw, "nearest")
+
+
+def resize_bicubic_planar(x, out_hw):
+    """bicubic on the last two dims of (..., H, W) / (B, C, H, W)."""
+    return _apply_separable_planar(x, out_hw, "bicubic")
+
+
+def resize_bilinear_planar(x, out_hw):
+    return _apply_separable_planar(x, out_hw, "bilinear")
+
+
+def resize_nearest_planar(x, out_hw):
+    return _apply_separable_planar(x, out_hw, "nearest")

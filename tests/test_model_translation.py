@@ -79,4 +79,5 @@ def test_translation_eval(model):
     model.calculate()
     assert np.isfinite(float(model.metrics["depth_dif_A"]))
     vis = model.get_current_visuals()
-    assert vis["fake_depth_B"].shape == (2, 64, 64, 1)
+    # depth maps are planar (B, H, W) in the loss/visual tail
+    assert vis["fake_depth_B"].shape == (2, 64, 64)
