@@ -76,6 +76,12 @@ class BaseModel:
     def _post_setup(self):
         """Hook for models to build optimizer state after params exist."""
 
+    def jit_train(self, fn):
+        """jit a train step, donating (params, opt_state) unless --no_donate."""
+        if getattr(self.opt, "no_donate", False):
+            return jax.jit(fn)
+        return jax.jit(fn, donate_argnums=(0, 1))
+
     # -- checkpoints ---------------------------------------------------------
 
     def save_dir(self):

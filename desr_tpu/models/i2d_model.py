@@ -137,7 +137,7 @@ class I2DModel(BaseModel):
             loss_g, (m, vis) = losses(params, batch, rng, False)
             return m, vis
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = self.jit_train(train_step)
         self._eval_step = jax.jit(eval_step)
 
         if opt.use_D and self.isTrain:
@@ -166,7 +166,7 @@ class I2DModel(BaseModel):
                 return (L.gan_loss(pr, True, opt.gan_mode),
                         L.gan_loss(ps, True, opt.gan_mode))
 
-            self._d_step = jax.jit(d_step, donate_argnums=(0, 1))
+            self._d_step = self.jit_train(d_step)
             self._g_pred_metrics = jax.jit(g_pred_metrics)
             self.opt_state_D = adam_init(split_trainable(self.params["D_depth"])[0])
 

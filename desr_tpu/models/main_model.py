@@ -323,7 +323,7 @@ class MainModel(BaseModel):
             m = {k: v for k, v in m.items() if not k.endswith("_vis")}
             return m, f
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = self.jit_train(train_step)
         self._eval_step = jax.jit(eval_step)
         g_train = {n: split_trainable(self.params[n])[0] for n in trainable_nets}
         self.opt_state_G = adam_init(g_train)

@@ -340,8 +340,8 @@ class TranslationModel(BaseModel):
             }
             return m, f
 
-        self._g_step = jax.jit(g_step, donate_argnums=(0, 1))
-        self._d_step = jax.jit(d_step, donate_argnums=(0, 1)) if disc_names else None
+        self._g_step = self.jit_train(g_step)
+        self._d_step = self.jit_train(d_step) if disc_names else None
         self._eval_step = jax.jit(eval_step)
 
         if self.isTrain:

@@ -70,6 +70,9 @@ class BaseOptions:
                                  "as-shipped trains only Task, I2D_model.py:143)")
         parser.add_argument("--num_devices", type=int, default=0,
                             help="limit the data mesh to the first N devices (0=all)")
+        parser.add_argument("--no_donate", action="store_true",
+                            help="disable buffer donation in train steps "
+                                 "(diagnostic; costs duplicate param buffers)")
         parser.add_argument("--profile_dir", type=str, default="",
                             help="write a jax.profiler trace of the run to this dir")
         parser.add_argument("--remat", action="store_true",

@@ -58,6 +58,8 @@ def _grid(wandb, image_dict, step, keys, ncols, title, stage, depth_cmap="RdYlBu
         arr = np.asarray(image_dict[k])
         if arr.ndim == 4:
             arr = arr[0]
+        if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] != 3:
+            arr = arr.transpose(1, 2, 0)  # planar (3, H, W) normal map
         if arr.ndim == 3 and arr.shape[-1] == 3:
             ax.imshow(tensor2im_rgb(arr))
         else:
