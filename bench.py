@@ -80,21 +80,25 @@ def main():
     model = build(remat=False)
     model.set_input(data)
     try:
-        # warmup / compile
-        model.optimize_parameters(1)
+        # warmup / compile. The first ~10 executions of a large program run
+        # slowly on the tunneled runtime (background optimization); steady
+        # state only shows after a deep warmup.
+        for i in range(12):
+            model.optimize_parameters(i + 1)
         sync(model)
     except Exception as e:  # HBM OOM -> retry with rematerialization
         print(f"# no-remat step failed ({type(e).__name__}); retrying with --remat",
               file=sys.stderr)
         model = build(remat=True)
         model.set_input(data)
-        model.optimize_parameters(1)
+        for i in range(12):
+            model.optimize_parameters(i + 1)
         sync(model)
 
     n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
-        model.optimize_parameters(i + 2)
+        model.optimize_parameters(i + 20)
     sync(model)
     dt = (time.perf_counter() - t0) / n_steps
 

@@ -105,8 +105,25 @@ class BaseModel:
     # -- metrics -------------------------------------------------------------
 
     def next_rng(self):
+        """Eager key split — AVOID in hot loops (each eager op is a remote
+        round trip on tunneled backends); hot steps thread the key through the
+        jitted program instead (see step_rng/lr_scalar)."""
         self._rng, sub = jax.random.split(self._rng)
         return sub
+
+    def step_rng(self):
+        """Device-resident key for jitted steps that RETURN the next key."""
+        return self._rng
+
+    def set_step_rng(self, new_rng):
+        self._rng = new_rng
+
+    def lr_scalar(self):
+        """Cached device scalar for the current lr (no per-step device_put)."""
+        if getattr(self, "_lr_dev_val", None) != self.lr:
+            self._lr_dev = jnp.float32(self.lr)
+            self._lr_dev_val = self.lr
+        return self._lr_dev
 
     def get_current_losses(self):
         return {k: float(v) for k, v in self.metrics.items() if k in self.loss_names}

@@ -114,6 +114,7 @@ class I2DModel(BaseModel):
             return loss_g, (m, vis)
 
         def train_step(params, opt_state, batch, rng, lr):
+            next_rng, use_rng = jax.random.split(rng)
             trains, auxs = {}, {}
             for n in self.model_names:
                 trains[n], auxs[n] = split_trainable(params[n])
@@ -123,7 +124,7 @@ class I2DModel(BaseModel):
                 full = {n: dict(trains[n], **auxs[n]) for n in self.model_names}
                 for n in g_nets:
                     full[n] = dict(g_train_params[n], **auxs[n])
-                return losses(full, batch, rng, True)
+                return losses(full, batch, use_rng, True)
 
             (loss_g, (m, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_train)
             new_g, new_opt = adam_update(grads, opt_state, g_train, lr,
@@ -131,7 +132,7 @@ class I2DModel(BaseModel):
             new_params = dict(params)
             for n in g_nets:
                 new_params[n] = dict(new_g[n], **auxs[n])
-            return new_params, new_opt, m
+            return new_params, new_opt, m, next_rng
 
         def eval_step(params, batch, rng):
             loss_g, (m, vis) = losses(params, batch, rng, False)
@@ -183,11 +184,12 @@ class I2DModel(BaseModel):
         self._paths = {"A_paths": batch.get("A_paths"), "B_paths": batch.get("B_paths")}
 
     def optimize_parameters(self, iters, fr=700):
-        rng = self.next_rng()
-        self.params, self.opt_state_G, m = self._train_step(
-            self.params, self.opt_state_G, self._batch, rng, jnp.float32(self.lr))
+        self.params, self.opt_state_G, m, new_rng = self._train_step(
+            self.params, self.opt_state_G, self._batch, self.step_rng(), self.lr_scalar())
+        self.set_step_rng(new_rng)
         self.metrics = m
         if self.opt.use_D:
+            rng = self.next_rng()
             _, vis = self._eval_step(self.params, self._batch, rng)
             fr_iters = fr * self.opt.batch_size
             if (iters % fr_iters == 0) or (iters < 800):

@@ -295,6 +295,9 @@ class MainModel(BaseModel):
         model_names = self.model_names
 
         def train_step(params, opt_state, batch, rng, lr):
+            # split INSIDE jit and return the next key — eager per-step splits
+            # are remote round trips on tunneled backends
+            next_rng, use_rng = jax.random.split(rng)
             trains, auxs = {}, {}
             for n in model_names:
                 trains[n], auxs[n] = split_trainable(params[n])
@@ -304,7 +307,7 @@ class MainModel(BaseModel):
                 full = {n: dict(trains[n], **auxs[n]) for n in model_names}
                 for n in trainable_nets:
                     full[n] = dict(g_train_params[n], **auxs[n])
-                f = forward(full, batch, rng, True)
+                f = forward(full, batch, use_rng, True)
                 loss_g, m = losses(f, batch)
                 return loss_g, m
 
@@ -315,7 +318,7 @@ class MainModel(BaseModel):
             for n in trainable_nets:
                 new_params[n] = dict(new_g[n], **auxs[n])
             m = {k: v for k, v in m.items() if not k.endswith("_vis")}
-            return new_params, new_opt, m
+            return new_params, new_opt, m, next_rng
 
         def eval_step(params, batch, rng):
             f = forward(params, batch, rng, False)
@@ -336,9 +339,9 @@ class MainModel(BaseModel):
         self._paths = {"A_paths": batch.get("A_paths"), "B_paths": batch.get("B_paths")}
 
     def optimize_parameters(self, iters, fr=1):
-        rng = self.next_rng()
-        self.params, self.opt_state_G, m = self._train_step(
-            self.params, self.opt_state_G, self._batch, rng, jnp.float32(self.lr))
+        self.params, self.opt_state_G, m, new_rng = self._train_step(
+            self.params, self.opt_state_G, self._batch, self.step_rng(), self.lr_scalar())
+        self.set_step_rng(new_rng)
         self.metrics = m
 
     def calculate(self, stage="test"):

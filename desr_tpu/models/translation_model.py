@@ -261,6 +261,7 @@ class TranslationModel(BaseModel):
             return (x * (opt.max_distance / 2) + opt.max_distance / 2) / 1000.0
 
         def g_step(params, opt_state_g, batch, rng, lr, weights):
+            rng_next, rng = jax.random.split(rng)
             trains, auxs = {}, {}
             for n in self.model_names:
                 trains[n], auxs[n] = split_trainable(params[n])
@@ -284,9 +285,10 @@ class TranslationModel(BaseModel):
                                                 meters(f["fake_depth_B"]), ~f["hole_mask_A"])
             m["depth_dif_B"] = L.masked_l1_loss(meters(f["real_depth_B"]),
                                                 meters(f["fake_depth_A"]), ~f["hole_mask_B"])
-            return new_params, new_opt, m
+            return new_params, new_opt, m, rng_next
 
         def d_step(params, opt_state_d, batch, rng, lr):
+            rng_next, rng = jax.random.split(rng)
             trains, auxs = {}, {}
             for n in self.model_names:
                 trains[n], auxs[n] = split_trainable(params[n])
@@ -327,7 +329,7 @@ class TranslationModel(BaseModel):
             new_params = dict(params)
             for n in disc_names:
                 new_params[n] = dict(new_d[n], **auxs[n])
-            return new_params, new_opt, m
+            return new_params, new_opt, m, rng_next
 
         def eval_step(params, batch, rng):
             g_full = {n: params[n] for n in ["G_A", "G_B"]}
@@ -361,24 +363,32 @@ class TranslationModel(BaseModel):
         self._names = {"A_name": batch.get("A_name"), "B_name": batch.get("B_name")}
 
     def _weights(self):
-        return {
-            "l_depth_A": jnp.float32(max(self.l_depth_A, 0.0)),
-            "l_depth_B": jnp.float32(max(self.l_depth_B, 0.0)),
-            "l_cycle_A": jnp.float32(self.l_cycle_A),
-            "l_cycle_B": jnp.float32(self.l_cycle_B),
-        }
+        vals = (max(self.l_depth_A, 0.0), max(self.l_depth_B, 0.0),
+                self.l_cycle_A, self.l_cycle_B)
+        # cache device scalars: per-step device_puts are remote round trips
+        if getattr(self, "_weights_vals", None) != vals:
+            self._weights_dev = {
+                "l_depth_A": jnp.float32(vals[0]),
+                "l_depth_B": jnp.float32(vals[1]),
+                "l_cycle_A": jnp.float32(vals[2]),
+                "l_cycle_B": jnp.float32(vals[3]),
+            }
+            self._weights_vals = vals
+        return self._weights_dev
 
     def optimize_parameters(self, iters, fr=1):
-        lr = jnp.float32(self.lr)
+        lr = self.lr_scalar()
+        weights = self._weights()
         for _ in range(self.opt.num_iter_gen):
-            self.params, self.opt_state_G, m = self._g_step(
-                self.params, self.opt_state_G, self._batch, self.next_rng(), lr,
-                self._weights())
+            self.params, self.opt_state_G, m, new_rng = self._g_step(
+                self.params, self.opt_state_G, self._batch, self.step_rng(), lr, weights)
+            self.set_step_rng(new_rng)
         self.metrics = dict(m)
         if self._d_step is not None:
             for _ in range(self.opt.num_iter_dis):
-                self.params, self.opt_state_D, md = self._d_step(
-                    self.params, self.opt_state_D, self._batch, self.next_rng(), lr)
+                self.params, self.opt_state_D, md, new_rng = self._d_step(
+                    self.params, self.opt_state_D, self._batch, self.step_rng(), lr)
+                self.set_step_rng(new_rng)
             self.metrics.update(md)
 
     def calculate(self, stage="test"):
