@@ -10,10 +10,22 @@ from desr_tpu.data.i2d_dataset import I2DDataset
 from desr_tpu.data.main_dataset import MainDataset
 from desr_tpu.data.sr_dataset import NaiveSRDataset
 from desr_tpu.data.translation_dataset import TranslationDataset
+from desr_tpu.data.legacy_datasets import find_dataset_using_name
 
 
 def get_option_setter(dataset_mode):
+    """Dataset-level dynamic flag injection (reference data/__init__.py:42-45)."""
+    try:
+        cls = find_dataset_using_name(dataset_mode)
+    except NotImplementedError:
+        cls = None
+
     def setter(parser, is_train):
+        if cls is not None and hasattr(cls, "modify_commandline_options"):
+            try:
+                return cls.modify_commandline_options(parser, is_train)
+            except Exception:
+                return parser
         return parser
 
     return setter

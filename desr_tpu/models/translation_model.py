@@ -24,6 +24,7 @@ As-shipped semantics preserved:
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -400,3 +401,52 @@ class TranslationModel(BaseModel):
         self.calculate()
         self.test_depth_dif_A = float(self.metrics["depth_dif_A"])
         self.test_depth_dif_B = float(self.metrics["depth_dif_B"])
+
+    # -- extra metric API (reference translation_model.py:307-323) ------------
+
+    def _meters(self, x):
+        md = self.opt.max_distance
+        return (np.asarray(x) * (md / 2) + md / 2) / 1000.0
+
+    def _masked_l1_m(self, a, b, mask):
+        mask = np.asarray(mask)
+        return float(np.sum(np.abs(self._meters(b) - self._meters(a)) * mask)
+                     / (mask.sum() + 1e-6))
+
+    def get_L1_loss(self):
+        f = self.visuals
+        return self._masked_l1_m(f["real_depth_A"], f["fake_depth_B"],
+                                 np.asarray(f["real_depth_A"]) > HOLE_BORDER)
+
+    def get_L1_loss_syn(self):
+        f = self.visuals
+        return self._masked_l1_m(f["real_depth_B"], f["fake_depth_A"],
+                                 np.asarray(f["fake_depth_A"]) > HOLE_BORDER)
+
+    def get_L1_loss_cycle(self):
+        f = self.visuals
+        return self._masked_l1_m(f["real_depth_A"], f["rec_depth_A"],
+                                 np.asarray(f["real_depth_A"]) > HOLE_BORDER)
+
+    def get_L1_loss_cycle_syn(self):
+        f = self.visuals
+        return float(np.mean(np.abs(self._meters(f["rec_depth_B"])
+                                    - self._meters(f["real_depth_B"]))))
+
+    def get_dif(self):
+        """signed masked mean difference in meters (y - x)."""
+        f = self.visuals
+        mask = np.asarray(f["real_depth_A"]) > HOLE_BORDER
+        return float(np.sum((self._meters(f["fake_depth_B"])
+                             - self._meters(f["real_depth_A"])) * mask)
+                     / (mask.sum() + 1e-6))
+
+    def get_dif_syn(self):
+        f = self.visuals
+        mask = np.asarray(f["fake_depth_A"]) > HOLE_BORDER
+        return float(np.sum((self._meters(f["fake_depth_A"])
+                             - self._meters(f["real_depth_B"])) * mask)
+                     / (mask.sum() + 1e-6))
+
+    def get_mask(self, depth):
+        return np.asarray(depth) <= HOLE_BORDER
