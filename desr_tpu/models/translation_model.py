@@ -68,10 +68,12 @@ class TranslationModel(BaseModel):
         parser.add_argument("--inp_B", type=str, default="img_depth")
         parser.add_argument("--norm_d", type=str, default="none")
         parser.add_argument("--w_decay_G", type=float, default=0.0001)
-        try:
-            parser.add_argument("--max_distance", type=float, default=5100.0)
-        except Exception:
-            pass
+        # note: --max_distance stays at the TrainOptions default (10); the
+        # translation DATASET's modify_commandline_options that would set 5100
+        # is never invoked by the reference's option flow either (main.py
+        # imports the dataset class directly; base_options resolves the
+        # dataset setter from --dataset_mode='unaligned') — README commands
+        # pass --max_distance 5100 explicitly (README.md:54).
         return parser
 
     def __init__(self, opt):
