@@ -44,6 +44,8 @@ def masked_loss_sums_reference(pred, target, m1, m2):
 
 
 def _kernel(p_ref, t_ref, m1_ref, m2_ref, out_ref, acc_ref):
+    # TPU VMEM stores must be >= row-shaped (no scalar stores), so each
+    # quantity accumulates a (1, 128) lane-sum row; the caller reduces lanes.
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -57,9 +59,9 @@ def _kernel(p_ref, t_ref, m1_ref, m2_ref, out_ref, acc_ref):
     m2 = m2_ref[:]
     d1 = t * m1 - p * m1
     d2 = d1 * m2  # (t*m1 - p*m1)*m2 == t*m1*m2 - p*m1*m2
-    acc_ref[0, 0] += jnp.sum(jnp.abs(d1))
-    acc_ref[0, 1] += jnp.sum(jnp.abs(d2))
-    acc_ref[0, 2] += jnp.sum(d2 * d2)
+    acc_ref[0:1, :] += jnp.sum(jnp.abs(d1), axis=0, keepdims=True)
+    acc_ref[1:2, :] += jnp.sum(jnp.abs(d2), axis=0, keepdims=True)
+    acc_ref[2:3, :] += jnp.sum(d2 * d2, axis=0, keepdims=True)
 
     @pl.when(i == n - 1)
     def _():
@@ -83,12 +85,13 @@ def _masked_loss_sums_impl(p, t, m1, m2, interpret=False):
         grid=(grid,),
         in_specs=[pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec((1, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, _LANES), jnp.float32)],
+        out_specs=pl.BlockSpec((8, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, _LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, _LANES), jnp.float32)],
         interpret=interpret,
     )(prep(p), prep(t), prep(m1), prep(m2))
-    return out[0, 0], out[0, 1], out[0, 2]
+    sums = jnp.sum(out, axis=1)
+    return sums[0], sums[1], sums[2]
 
 
 def masked_loss_sums(pred, target, m1, m2, force_interpret=None):
