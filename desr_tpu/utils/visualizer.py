@@ -48,8 +48,10 @@ class Visualizer:
             arr = np.asarray(image)
             if arr.ndim == 4:
                 arr = arr[0]
-            if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+            if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] not in (1, 3):
                 arr = arr.transpose(1, 2, 0)  # planar (C, H, W) normals
+            elif arr.ndim == 3 and arr.shape[-1] not in (1, 3):
+                arr = arr[0]  # planar (B, H, W) depth batch
             if arr.ndim == 2:
                 arr = arr[..., None]  # planar (H, W) depth map
             if arr.ndim != 3 or arr.shape[-1] not in (1, 3):
