@@ -90,8 +90,10 @@ class UnpairedFolderDataset:
         self._K_cache = {}
 
     def item_rng(self, index):
+        # pid in the entropy: forked loader workers inherit the same _draw
+        # counter, so without it workers would replay identical augmentations
         return np.random.default_rng(
-            np.random.SeedSequence([self.seed, index, next(self._draw)]))
+            np.random.SeedSequence([self.seed, index, next(self._draw), os.getpid()]))
 
     def pick_indices(self, index, rng):
         index_B = index % self.B_size

@@ -1,16 +1,38 @@
-"""Multi-threaded prefetching data loader (reference: data/__init__.py:48-96).
+"""Multi-process prefetching data loader (reference: data/__init__.py:48-96).
 
-Replaces torch DataLoader worker processes with a thread pool: PIL/cv2 decode
-releases the GIL, so threads overlap decode with TPU compute, and the batch is
-delivered as a dict of stacked numpy arrays ready for ``shard_batch``.
+``--num_threads`` maps to worker PROCESSES, exactly like torch DataLoader's
+``num_workers``: the decode+augment work is numpy/cv2-heavy and GIL-bound, so
+threads give no speedup (measured: 8 threads == 1 thread). Workers are forked
+with the dataset snapshot inherited (no per-item pickling of the dataset);
+batches are prefetched two deep so the host pipeline overlaps device compute.
+With ``num_threads <= 1`` (or where fork is unavailable) loading is inline.
 """
 
 from __future__ import annotations
 
-import concurrent.futures as cf
+import multiprocessing
+import os
 from typing import Iterator
 
 import numpy as np
+
+# set by _init_worker in forked children
+_WORKER_DS = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+    try:
+        import cv2
+
+        cv2.setNumThreads(1)
+    except ImportError:
+        pass
+
+
+def _worker_get(idx):
+    return _WORKER_DS[int(idx)]
 
 
 def collate(samples):
@@ -32,15 +54,37 @@ class DataLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.num_threads = max(int(num_threads), 1)
+        self.num_workers = max(int(num_threads), 0)
         self.max_dataset_size = max_dataset_size
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None:
+            import atexit
+
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ctx.Pool(self.num_workers, initializer=_init_worker,
+                                  initargs=(self.dataset,))
+            atexit.register(self.close)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         return min(len(self.dataset), self.max_dataset_size)
 
-    def __iter__(self) -> Iterator[dict]:
+    def _batches(self):
         n = len(self)
         order = np.arange(n)
         if self.shuffle:
@@ -48,16 +92,25 @@ class DataLoader:
         batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
-        with cf.ThreadPoolExecutor(self.num_threads) as pool:
-            pending = []
-            bi = 0
-            # keep 2 batches in flight
-            while bi < len(batches) or pending:
-                while bi < len(batches) and len(pending) < 2:
-                    idxs = batches[bi]
-                    pending.append(pool.map(self.dataset.__getitem__, idxs))
-                    bi += 1
-                yield collate(list(pending.pop(0)))
+        return batches
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batches()
+        use_procs = (self.num_workers > 1 and hasattr(os, "fork"))
+        if not use_procs:
+            for idxs in batches:
+                yield collate([self.dataset[int(i)] for i in idxs])
+            return
+
+        pool = self._get_pool()  # persistent across epochs
+        # keep 2 batches in flight
+        pending = []
+        bi = 0
+        while bi < len(batches) or pending:
+            while bi < len(batches) and len(pending) < 2:
+                pending.append(pool.map_async(_worker_get, list(batches[bi])))
+                bi += 1
+            yield collate(pending.pop(0).get())
 
 
 def create_dataset(opt, custom=None, stage="train"):

@@ -26,8 +26,15 @@ except ImportError:  # pragma: no cover - cv2 is present in the target env
 
 INTER = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # cv2 interpolation codes pass through
 
+if cv2 is not None:
+    # the loader parallelizes across items with a thread pool; cv2's internal
+    # threading on top of that causes oversubscription
+    cv2.setNumThreads(1)
+
 
 def resize(img, height, width, interpolation=3):
+    if img.shape[0] == height and img.shape[1] == width:
+        return img
     return cv2.resize(img, (width, height), interpolation=INTER[interpolation])
 
 
