@@ -104,6 +104,11 @@ class BaseModel:
     def _train(self):
         self._train_mode = True
 
+    def test(self):
+        """Forward without gradients (reference base_model.py:105-113);
+        functionally identical to calculate(stage='test') here."""
+        self.calculate(stage="test")
+
     # -- metrics -------------------------------------------------------------
 
     def next_rng(self):

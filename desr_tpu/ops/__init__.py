@@ -17,9 +17,13 @@ from desr_tpu.ops.depth import (
 )
 from desr_tpu.ops.normals import (
     np_gradient,
+    safe_norm,
     surface_normals,
     surface_normals_fov,
     surface_normals_from_K,
+    surface_normals_planar,
+    surface_normals_fov_planar,
+    surface_normals_from_K_planar,
 )
 from desr_tpu.ops.losses import (
     l1_loss,
@@ -35,6 +39,14 @@ from desr_tpu.ops.losses import (
     smooth_weight_loss,
     scale_pyramid,
 )
-from desr_tpu.ops.resize import resize_bicubic, resize_bilinear, resize_nearest
+from desr_tpu.ops.resize import (
+    resize_bicubic,
+    resize_bicubic_planar,
+    resize_bilinear,
+    resize_bilinear_planar,
+    resize_nearest,
+    resize_nearest_planar,
+)
 from desr_tpu.ops.ssim import ssim
-from desr_tpu.ops.optim import adam_init, adam_update
+from desr_tpu.ops.optim import adam_init, adam_update, lr_schedule
+from desr_tpu.ops.pallas_kernels import masked_loss_sums
