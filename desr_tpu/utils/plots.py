@@ -87,6 +87,44 @@ def plot_I2D(wandb, image_dict, step, depth=False, stage="train"):
 
 
 def plot_translation(wandb, image_dict, step, depth=False, stage="train"):
+    """Translation panel incl. the per-row depth scanline plot the reference
+    renders (plots.py:203-280): mid-row depth profiles in meters for
+    real/fake/rec, which makes translator depth-range drift visible."""
+    plt = _plt()
     keys = ["real_img_A", "real_depth_A", "fake_depth_B", "rec_depth_A",
             "real_img_B", "real_depth_B", "fake_depth_A", "rec_depth_B"]
-    return _grid(wandb, image_dict, step, keys, 4, "translation", stage)
+    keys = [k for k in keys if k in image_dict]
+    ncols = 4
+    nrows = (len(keys) + ncols - 1) // ncols + 1  # +1 row for scanlines
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3 * nrows), squeeze=False)
+    for ax in axes.ravel():
+        ax.axis("off")
+    for i, k in enumerate(keys):
+        ax = axes[i // ncols][i % ncols]
+        arr = np.asarray(image_dict[k])
+        if arr.ndim == 4:
+            arr = arr[0]
+        if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] != 3:
+            arr = arr.transpose(1, 2, 0)
+        if arr.ndim == 3 and arr.shape[-1] == 3:
+            ax.imshow(tensor2im_rgb(arr))
+        else:
+            ax.imshow(tensor2im_depth(arr), cmap="RdYlBu")
+        ax.set_title(k)
+        ax.axis("off")
+    # scanline row: mid-row depth profiles per domain
+    for col, group in enumerate([("real_depth_A", "fake_depth_B", "rec_depth_A"),
+                                 ("real_depth_B", "fake_depth_A", "rec_depth_B")]):
+        ax = axes[-1][col]
+        ax.axis("on")
+        for k in group:
+            if k not in image_dict:
+                continue
+            d = tensor2im_depth(image_dict[k])
+            ax.plot(d[d.shape[0] // 2, :], label=k, linewidth=0.8)
+        ax.set_title("mid-row depth (m)")
+        ax.legend(fontsize=6)
+    if wandb is not None:
+        wandb.log({f"{stage}/translation": wandb.Image(fig)}, step=step)
+    plt.close(fig)
+    return fig
