@@ -46,6 +46,9 @@ def make_batch(b, ch, cw):
 
 
 def main():
+    import contextlib
+    import io
+
     import jax
 
     from desr_tpu.options.train_options import TrainOptions
@@ -65,9 +68,11 @@ def main():
             "--crop_size_h", str(ch), "--crop_size_w", str(cw),
             "--lr", "2e-5",
         ] + (["--remat"] if remat else [])
-        opt = TrainOptions().parse(argv)
-        model = MainSRModel(opt)
-        model.setup()
+        # keep stdout to exactly ONE JSON line: option/network dumps -> stderr
+        with contextlib.redirect_stdout(sys.stderr):
+            opt = TrainOptions().parse(argv)
+            model = MainSRModel(opt)
+            model.setup()
         return model
 
     def sync(model):

