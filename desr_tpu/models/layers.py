@@ -456,13 +456,22 @@ class SpectralNormConv2d(Conv2d):
         p = super().init(key, prefix, cfg)
         w = p.pop(prefix + "weight")
         rows = w.shape[0]
-        cols = int(np.prod(w.shape[1:]))
-        ku, kv = jax.random.split(jax.random.fold_in(key, 7))
+        ku = jax.random.fold_in(key, 7)
         u = jax.random.normal(ku, (rows,), jnp.float32)
-        v = jax.random.normal(kv, (cols,), jnp.float32)
+        u = u / jnp.linalg.norm(u)
+        # converge the power iteration at init so apply()'s few refresh
+        # iterations track sigma accurately (torch amortizes this over
+        # thousands of forwards by persisting u)
+        wm = w.reshape(rows, -1)
+        v = jnp.zeros((wm.shape[1],), jnp.float32)
+        for _ in range(30):
+            v = wm.T @ u
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+            u = wm @ v
+            u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
         p[prefix + "weight_orig"] = w
-        p[prefix + "weight_u"] = u / jnp.linalg.norm(u)
-        p[prefix + "weight_v"] = v / jnp.linalg.norm(v)
+        p[prefix + "weight_u"] = u
+        p[prefix + "weight_v"] = v
         return p
 
     def apply(self, params, x, prefix, ctx):
