@@ -125,6 +125,32 @@ class SingleDataset:
         return len(self.A_paths)
 
 
+class TemplateDataset:
+    """Minimal example dataset showing the registry contract
+    (reference data/template_dataset.py): a ``modify_commandline_options``
+    hook adding a flag, paired A/B from one folder, fixed-size output."""
+
+    @staticmethod
+    def modify_commandline_options(parser, is_train):
+        parser.add_argument("--new_dataset_option", type=float, default=1.0,
+                            help="template example option")
+        return parser
+
+    def __init__(self, opt, stage="train"):
+        self.opt = opt
+        self.paths = sorted(make_dataset(opt.dataroot, opt.max_dataset_size))
+
+    def __getitem__(self, index):
+        path = self.paths[index]
+        img = _norm_img(load_image(path))
+        img = T.resize(img, self.opt.load_size, self.opt.load_size, 2)
+        img = np.clip(img, -1, 1).astype(np.float32)
+        return {"data_A": img, "data_B": img, "path": str(path)}
+
+    def __len__(self):
+        return len(self.paths)
+
+
 def find_dataset_using_name(dataset_mode):
     """dataset_mode registry (reference data/__init__.py:19-39)."""
     from desr_tpu.data.i2d_dataset import I2DDataset
@@ -136,6 +162,7 @@ def find_dataset_using_name(dataset_mode):
         "unaligned": UnalignedDataset,
         "aligned": AlignedDataset,
         "single": SingleDataset,
+        "template": TemplateDataset,
         "my_i2d": I2DDataset,
         "my_main": MainDataset,
         "my_naive_sr": NaiveSRDataset,

@@ -92,6 +92,15 @@ class BaseOptions:
 
         model_option_setter = get_option_setter(opt.model_type)
         parser = model_option_setter(parser, self.isTrain)
+        opt, _ = parser.parse_known_args(argv)
+
+        # dataset-level flag injection keyed on --dataset_mode (reference
+        # base_options.py:82-85). With the default 'unaligned' this is a
+        # no-op — which is why translation_dataset's max_distance=5100
+        # never reaches the model there either (translation_model.py note).
+        from desr_tpu.data import get_option_setter as data_option_setter
+
+        parser = data_option_setter(opt.dataset_mode)(parser, self.isTrain)
         self.parser = parser
         return parser.parse_args(argv)
 

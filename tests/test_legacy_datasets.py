@@ -31,7 +31,7 @@ def _opt(root, extra=()):
 def test_registry_resolves_all_modes():
     from desr_tpu.data.legacy_datasets import find_dataset_using_name
 
-    for mode in ["unaligned", "aligned", "single", "translation", "my_main"]:
+    for mode in ["unaligned", "aligned", "single", "template", "translation", "my_main"]:
         assert find_dataset_using_name(mode) is not None
     with pytest.raises(NotImplementedError):
         find_dataset_using_name("nope")
@@ -66,3 +66,20 @@ def test_single_dataset(tmp_path):
     ds = SingleDataset(_opt(tmp_path / "trainA"))
     item = ds[0]
     assert item["A"].shape == (48, 48, 3)
+
+
+def test_template_dataset(tmp_path):
+    _fixture(tmp_path)
+    from desr_tpu.data.legacy_datasets import TemplateDataset
+
+    ds = TemplateDataset(_opt(tmp_path / "trainA"))
+    item = ds[0]
+    assert item["data_A"].shape == (48, 48, 3)
+    assert np.array_equal(item["data_A"], item["data_B"])
+    assert len(ds) == 3
+    # the modify_commandline_options hook injects its example flag
+    import argparse
+
+    parser = TemplateDataset.modify_commandline_options(
+        argparse.ArgumentParser(), True)
+    assert parser.parse_args([]).new_dataset_option == 1.0
