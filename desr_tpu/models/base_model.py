@@ -48,7 +48,7 @@ class BaseModel:
         self.visuals = {}
         n_dev = getattr(opt, "num_devices", 0)
         devices = jax.devices()[:n_dev] if n_dev and n_dev > 0 else None
-        self.mesh = make_mesh(devices)
+        self.mesh = make_mesh(devices, spatial=getattr(opt, "spatial_devices", 1))
         dt = getattr(opt, "compute_dtype", "bfloat16")
         self.compute_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
                               "float32": jnp.float32, "f32": jnp.float32}[dt]

@@ -68,6 +68,10 @@ class BaseOptions:
         parser.add_argument("--i2d_train_features", action="store_true",
                             help="also optimize Image_f in stage 1 (the reference "
                                  "as-shipped trains only Task, I2D_model.py:143)")
+        parser.add_argument("--spatial_devices", type=int, default=1,
+                            help="shard the image H axis over this many mesh "
+                                 "columns (2-D data x spatial mesh); chips "
+                                 "cooperate on single large frames")
         parser.add_argument("--num_devices", type=int, default=0,
                             help="limit the data mesh to the first N devices (0=all)")
         parser.add_argument("--no_donate", action="store_true",

@@ -24,9 +24,22 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+def make_mesh(devices=None, axis_name: str = "data", spatial: int = 1) -> Mesh:
+    """1-D data mesh, or a 2-D ('data', 'spatial') mesh when ``spatial`` > 1.
+
+    The spatial axis shards the image-height dimension across chips: XLA/GSPMD
+    inserts the conv halo exchanges automatically, so several chips cooperate
+    on ONE large frame — a capability DataParallel (the reference's only
+    strategy, networks.py:113-116) has no analog for. Validated numerically
+    equal to the unsharded program in tests/test_parallel.py.
+    """
     devices = list(jax.devices()) if devices is None else list(devices)
-    return Mesh(np.array(devices), (axis_name,))
+    if spatial <= 1:
+        return Mesh(np.array(devices), (axis_name,))
+    if len(devices) % spatial:
+        raise ValueError(f"{len(devices)} devices not divisible by spatial={spatial}")
+    grid = np.array(devices).reshape(len(devices) // spatial, spatial)
+    return Mesh(grid, (axis_name, "spatial"))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
@@ -38,16 +51,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device-put every array of a batch dict sharded on its leading axis."""
-    sh = batch_sharding(mesh, axis_name)
+    """Device-put every array of a batch dict sharded on its leading axis.
+
+    On a 2-D ('data', 'spatial') mesh, image-like arrays — ndim >= 3 with a
+    large axis-1 (the H axis of both NHWC images and planar (B,H,W) depths) —
+    are additionally sharded along H. Small axis-1 arrays (3x3 intrinsics,
+    crop boxes) stay spatial-replicated.
+    """
+    spatial = "spatial" in mesh.axis_names
+    n_data = mesh.shape[axis_name]
+    n_sp = mesh.shape["spatial"] if spatial else 1
     rep = replicated_sharding(mesh)
 
     def put(x):
         x = np.asarray(x)
-        # arrays whose leading axis is the batch axis get sharded, everything
-        # else (scalars) is replicated
-        if x.ndim >= 1 and x.shape[0] % mesh.devices.size == 0:
-            return jax.device_put(x, sh)
+        if x.ndim >= 1 and x.shape[0] % n_data == 0:
+            spec = [axis_name] + [None] * (x.ndim - 1)
+            if (spatial and x.ndim >= 3 and x.shape[1] >= 32
+                    and x.shape[1] % n_sp == 0):
+                spec[1] = "spatial"
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, rep)
 
     return {k: put(v) for k, v in batch.items()}

@@ -47,6 +47,13 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--max_distance", type=float, default=5100.0)
     parser.add_argument("--compute_dtype", default="bfloat16")
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="limit the mesh to the first N chips (0=all); "
+                             "data axis = num_devices / spatial_devices")
+    parser.add_argument("--spatial_devices", type=int, default=1,
+                        help="shard the image H axis over this many chips "
+                             "(data x spatial mesh): chips cooperate on one "
+                             "large frame instead of one frame per chip")
     parser.add_argument("--net_args", nargs=argparse.REMAINDER, default=[],
                         help="extra net-architecture flags forwarded to the model")
     args = parser.parse_args(argv)
@@ -66,6 +73,8 @@ def main(argv=None):
         "--compute_dtype", args.compute_dtype,
         "--batch_size", str(args.batch_size),
         "--epoch", str(args.epoch), "--continue_train",
+        "--spatial_devices", str(args.spatial_devices),
+        "--num_devices", str(args.num_devices),
     ] + (["--SR"] if args.SR else []) + list(args.net_args)
     opt = TrainOptions().parse(model_argv)
 
@@ -108,7 +117,7 @@ def main(argv=None):
             "crop_A": np.tile(np.array([[0, h, 0, w]], np.float32), (b, 1)),
             "crop_B": np.tile(np.array([[0, h, 0, w]], np.float32), (b, 1)),
         }
-        f = fwd(model.params, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+        f = fwd(model.params, model.shard(batch), rng)
         key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
         preds = np.asarray(f[key])  # planar (B, H', W')
         scale = 2 if args.SR else 1
