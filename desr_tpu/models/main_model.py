@@ -36,6 +36,7 @@ from desr_tpu.models.base_model import BaseModel, split_trainable
 from desr_tpu.models.layers import Ctx
 from desr_tpu.ops import depth as DPT
 from desr_tpu.ops import losses as L
+from desr_tpu.ops import pallas_kernels as PK
 from desr_tpu.ops import normals as NRM
 from desr_tpu.ops.optim import adam_init, adam_update
 
@@ -238,11 +239,17 @@ class MainModel(BaseModel):
                 mask2 = (syn_mask * mask_syn_add_holes)[:, None]
                 m["syn_norms_holes"] = L.l1_loss(norm_syn * mask2, norm_syn_pred * mask2)
 
-            m["holes_syn"] = L.l1_loss(syn_depth * syn_mask * mask_syn_add_holes,
-                                       pred_syn * syn_mask * mask_syn_add_holes)
-            m["holes_syn_l2"] = L.mse_loss(syn_depth * syn_mask * mask_syn_add_holes,
-                                           pred_syn * syn_mask * mask_syn_add_holes) * 5
-            m["task_syn"] = L.l1_loss(syn_depth * syn_mask, pred_syn * syn_mask)
+            if getattr(opt, "pallas_losses", False):
+                # one fused HBM pass for the (task, holes, holes_l2) triplet
+                # (pallas kernel with custom VJP, ops/pallas_kernels.py)
+                m["task_syn"], m["holes_syn"], m["holes_syn_l2"] = PK.fused_hole_means(
+                    pred_syn, syn_depth, syn_mask, mask_syn_add_holes)
+            else:
+                m["holes_syn"] = L.l1_loss(syn_depth * syn_mask * mask_syn_add_holes,
+                                           pred_syn * syn_mask * mask_syn_add_holes)
+                m["holes_syn_l2"] = L.mse_loss(syn_depth * syn_mask * mask_syn_add_holes,
+                                               pred_syn * syn_mask * mask_syn_add_holes) * 5
+                m["task_syn"] = L.l1_loss(syn_depth * syn_mask, pred_syn * syn_mask)
             m["task_real_by_depth"] = L.l1_loss(real_depth * real_mask, pred_real * real_mask)
             m["task_real_by_image"] = L.l1_loss(
                 f["real_depth_by_image"] * f["real_hole_mask"],
@@ -260,10 +267,15 @@ class MainModel(BaseModel):
 
             if opt.use_masked:
                 mask_real_add_holes = jnp.where(f["gt_mask_real"] > 0.1, 0.0, 1.0)
-                m["holes_real"] = L.l1_loss(real_depth * mask_real_add_holes,
-                                            pred_real * mask_real_add_holes)
-                m["holes_real_l2"] = L.mse_loss(real_depth * mask_real_add_holes,
-                                                pred_real * mask_real_add_holes) * 5
+                if getattr(opt, "pallas_losses", False):
+                    m["holes_real"], _, m["holes_real_l2"] = PK.fused_hole_means(
+                        pred_real, real_depth, mask_real_add_holes,
+                        jnp.ones_like(mask_real_add_holes))
+                else:
+                    m["holes_real"] = L.l1_loss(real_depth * mask_real_add_holes,
+                                                pred_real * mask_real_add_holes)
+                    m["holes_real_l2"] = L.mse_loss(real_depth * mask_real_add_holes,
+                                                    pred_real * mask_real_add_holes) * 5
                 loss_g = loss_g + (m["holes_real"] + m["holes_real_l2"]) * opt.w_real_holes
 
             if opt.norm_loss:

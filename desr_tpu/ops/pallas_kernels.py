@@ -101,3 +101,52 @@ def masked_loss_sums(pred, target, m1, m2, force_interpret=None):
     if force_interpret is None:
         force_interpret = jax.default_backend() != "tpu"
     return _masked_loss_sums_impl(pred, target, m1, m2, interpret=force_interpret)
+
+
+# -- differentiable wrapper -------------------------------------------------
+#
+# pallas_call has no autodiff rule, so the train path uses a custom_vjp: the
+# forward is the fused one-pass kernel; the backward is the closed form
+#
+#   dL/dp = -(m1*sign(d1)*g0 + m1*m2*sign(d2)*g1 + 2*m1*m2*d2*g2)
+#   dL/dt = +(same)
+#
+# which XLA fuses into a single elementwise pass of its own. Masks get zero
+# cotangents (they are data-derived step functions; the reference's autograd
+# likewise treats them as constants since sign()/where() kill those grads).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def masked_loss_sums_diff(pred, target, m1, m2, force_interpret=None):
+    return masked_loss_sums(pred, target, m1, m2, force_interpret)
+
+
+def _mls_fwd(pred, target, m1, m2, force_interpret):
+    out = masked_loss_sums(pred, target, m1, m2, force_interpret)
+    return out, (pred, target, m1, m2)
+
+
+def _mls_bwd(force_interpret, res, gs):
+    p, t, m1, m2 = res
+    g0, g1, g2 = gs
+    f32 = jnp.float32
+    d1 = (t * m1 - p * m1).astype(f32)
+    d2 = d1 * m2
+    gt = (jnp.sign(d1) * g0 + m1 * (jnp.sign(d2) * g1 + 2.0 * d2 * g2)) * m1
+    return (-gt).astype(p.dtype), gt.astype(t.dtype), None, None
+
+
+masked_loss_sums_diff.defvjp(_mls_fwd, _mls_bwd)
+
+
+def fused_hole_means(pred, target, m1, m2, force_interpret=None):
+    """The main/SR models' (task, holes, holes_l2) loss triplet in one HBM
+    pass (main_model.py:383-400 reads these tensors ~6 times):
+
+        task  = mean|t*m1 - p*m1|
+        holes = mean|t*m1*m2 - p*m1*m2|
+        l2    = mean((t*m1*m2 - p*m1*m2)^2) * 5
+    """
+    s0, s1, s2 = masked_loss_sums_diff(pred, target, m1, m2, force_interpret)
+    n = pred.size
+    return s0 / n, s1 / n, s2 / n * 5.0

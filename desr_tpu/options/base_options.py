@@ -79,6 +79,10 @@ class BaseOptions:
                                  "(diagnostic; costs duplicate param buffers)")
         parser.add_argument("--profile_dir", type=str, default="",
                             help="write a jax.profiler trace of the run to this dir")
+        parser.add_argument("--pallas_losses", action="store_true",
+                            help="compute the (task, holes, holes_l2) loss "
+                                 "triplets with the fused one-pass pallas "
+                                 "kernel (ops/pallas_kernels.py)")
         parser.add_argument("--remat", action="store_true",
                             help="jax.checkpoint the heavy nets in the train step "
                                  "(trade ~30%% recompute for activation HBM; needed "
