@@ -196,11 +196,8 @@ class TranslationModel(BaseModel):
 
         return gen_forward
 
-    def _post_setup(self):
-        opt = self.opt
+    def _d_apply_fn(self):
         dtype = self.compute_dtype
-        gen_forward = self._forward_fns()
-        disc_names = self.disc_names
         ctx_d = Ctx(train=True, dtype=dtype)
 
         def d_apply(params, name, x):
@@ -210,6 +207,13 @@ class TranslationModel(BaseModel):
             elif x.ndim == 4 and x.shape[1] == 3:
                 x = jnp.moveaxis(x, 1, -1)
             return self.nets[name].apply(params[name], x.astype(dtype), ctx_d).astype(jnp.float32)
+
+        return d_apply
+
+    def _g_losses_fn(self):
+        """Generator objective terms (translation_model.py:211-272)."""
+        opt = self.opt
+        d_apply = self._d_apply_fn()
 
         def g_losses(f, params_d, weights):
             m = {}
@@ -260,6 +264,46 @@ class TranslationModel(BaseModel):
             loss_B = loss_B + m["depth_range_B"]
             return loss_A + loss_B, m
 
+        return g_losses
+
+    def _d_losses_fn(self):
+        """Discriminator objectives (translation_model.py:192-209)."""
+        opt = self.opt
+        d_apply = self._d_apply_fn()
+
+        def d_losses(f, d_full):
+            m = {}
+            total = 0.0
+            if opt.disc_for_depth:
+                # D_A: rec_depth_B as "real" (translation_model.py:201)
+                real_A = f["rec_depth_B"] if opt.use_cycle_B else f["real_depth_B"]
+                m["D_A_depth"] = 0.5 * (
+                    L.gan_loss(d_apply(d_full, "D_A_depth", real_A), True, opt.gan_mode)
+                    + L.gan_loss(d_apply(d_full, "D_A_depth", f["fake_depth_B"]), False, opt.gan_mode))
+                m["D_B_depth"] = 0.5 * (
+                    L.gan_loss(d_apply(d_full, "D_B_depth", f["real_depth_A"]), True, opt.gan_mode)
+                    + L.gan_loss(d_apply(d_full, "D_B_depth", f["fake_depth_A"]), False, opt.gan_mode))
+                total += m["D_A_depth"] + m["D_B_depth"]
+            if opt.disc_for_normals:
+                real_nA = f["rec_norm_B"] if opt.use_cycle_B else f["real_norm_B"]
+                m["D_A_normal"] = 0.5 * (
+                    L.gan_loss(d_apply(d_full, "D_A_normal", real_nA), True, opt.gan_mode)
+                    + L.gan_loss(d_apply(d_full, "D_A_normal", f["fake_norm_B"]), False, opt.gan_mode))
+                m["D_B_normal"] = 0.5 * (
+                    L.gan_loss(d_apply(d_full, "D_B_normal", f["real_norm_A"]), True, opt.gan_mode)
+                    + L.gan_loss(d_apply(d_full, "D_B_normal", f["fake_norm_A"]), False, opt.gan_mode))
+                total += m["D_A_normal"] + m["D_B_normal"]
+            return total, m
+
+        return d_losses
+
+    def _post_setup(self):
+        opt = self.opt
+        gen_forward = self._forward_fns()
+        disc_names = self.disc_names
+        g_losses = self._g_losses_fn()
+        d_losses = self._d_losses_fn()
+
         def meters(x):
             return (x * (opt.max_distance / 2) + opt.max_distance / 2) / 1000.0
 
@@ -303,28 +347,7 @@ class TranslationModel(BaseModel):
 
             def loss_fn(dt):
                 d_full = {n: dict(dt[n], **auxs[n]) for n in disc_names}
-                m = {}
-                total = 0.0
-                if opt.disc_for_depth:
-                    # D_A: rec_depth_B as "real" (translation_model.py:201)
-                    real_A = f["rec_depth_B"] if opt.use_cycle_B else f["real_depth_B"]
-                    m["D_A_depth"] = 0.5 * (
-                        L.gan_loss(d_apply(d_full, "D_A_depth", real_A), True, opt.gan_mode)
-                        + L.gan_loss(d_apply(d_full, "D_A_depth", f["fake_depth_B"]), False, opt.gan_mode))
-                    m["D_B_depth"] = 0.5 * (
-                        L.gan_loss(d_apply(d_full, "D_B_depth", f["real_depth_A"]), True, opt.gan_mode)
-                        + L.gan_loss(d_apply(d_full, "D_B_depth", f["fake_depth_A"]), False, opt.gan_mode))
-                    total += m["D_A_depth"] + m["D_B_depth"]
-                if opt.disc_for_normals:
-                    real_nA = f["rec_norm_B"] if opt.use_cycle_B else f["real_norm_B"]
-                    m["D_A_normal"] = 0.5 * (
-                        L.gan_loss(d_apply(d_full, "D_A_normal", real_nA), True, opt.gan_mode)
-                        + L.gan_loss(d_apply(d_full, "D_A_normal", f["fake_norm_B"]), False, opt.gan_mode))
-                    m["D_B_normal"] = 0.5 * (
-                        L.gan_loss(d_apply(d_full, "D_B_normal", f["real_norm_A"]), True, opt.gan_mode)
-                        + L.gan_loss(d_apply(d_full, "D_B_normal", f["fake_norm_A"]), False, opt.gan_mode))
-                    total += m["D_A_normal"] + m["D_B_normal"]
-                return total, m
+                return d_losses(f, d_full)
 
             (total, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_train)
             new_d, new_opt = adam_update(grads, opt_state_d, d_train, lr,

@@ -7,12 +7,37 @@ reference semantics. All uses skip gracefully when the reference or torch is
 unavailable.
 """
 
+import importlib
 import importlib.util
 import os
+import sys
 
 import pytest
 
 REFERENCE_ROOT = "/root/reference"
+
+
+def load_reference_package(module_name):
+    """Import a reference module as part of its real package tree.
+
+    ``load_reference_module`` loads single files in isolation; model-level
+    oracles (the per-stage loss-graph tests) need the reference's *packages*
+    (``models.*`` with their relative imports and ``util.*``), so the
+    reference root goes on sys.path. The reference has no top-level package
+    name that collides with ours (``desr_tpu``) or the test tree.
+    """
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference not available")
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        pytest.skip("torch not available")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        return importlib.import_module(module_name)
+    except ImportError as e:  # e.g. a reference dep missing in this env
+        pytest.skip(f"reference package {module_name} not importable: {e}")
 
 
 def load_reference_module(rel_path, name):
