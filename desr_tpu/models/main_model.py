@@ -345,6 +345,28 @@ class MainModel(BaseModel):
 
     # ------------------------------------------------------------------
 
+    def _grads_for_oracle(self, batch):
+        """Gradients of loss_G wrt the trainable nets on a host batch.
+
+        Test hook for the lockstep/gradient oracle (tests/test_lockstep.py):
+        the same loss graph the train step differentiates, without the Adam
+        update, so gradients can be compared elementwise against the
+        reference's ``backward_G`` (main_model.py:340-419).
+        """
+        forward = self._forward_fn()
+        losses = self._losses_fn()
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not str(k).endswith("paths")}
+
+        def loss_fn(gt):
+            full = dict(self.params)
+            full.update(gt)
+            f = forward(full, jb, jax.random.PRNGKey(0), True)
+            return losses(f, jb)[0]
+
+        g_train = {n: self.params[n] for n in self._trainable_nets}
+        return jax.jit(jax.grad(loss_fn))(g_train)
+
     def set_input(self, batch):
         keys = ["A_i", "B_i", "A_d", "B_d", "K_A", "K_B", "crop_A", "crop_B"]
         self._batch = self.shard({k: batch[k] for k in keys})
