@@ -149,16 +149,18 @@ class I2DModel(BaseModel):
 
                 def loss_fn(dt):
                     full = dict(dt, **d_aux)
-                    ctx = Ctx(train=True, dtype=dtype)
+                    stats = {}  # BatchNorm running-stat updates (--norm batch)
+                    ctx = Ctx(train=True, dtype=dtype, stats=stats)
                     pred_real = d_net.apply(full, feats_syn, ctx).astype(jnp.float32)
                     pred_fake = d_net.apply(full, fake_pool, ctx).astype(jnp.float32)
-                    return 0.5 * (L.gan_loss(pred_real, True, opt.gan_mode)
+                    loss = 0.5 * (L.gan_loss(pred_real, True, opt.gan_mode)
                                   + L.gan_loss(pred_fake, False, opt.gan_mode))
+                    return loss, stats
 
-                loss_d, grads = jax.value_and_grad(loss_fn)(d_train)
+                (loss_d, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_train)
                 new_d, new_opt = adam_update(grads, d_opt_state, d_train, lr,
                                              b1=opt.beta1, b2=0.999)
-                return dict(new_d, **d_aux), new_opt, loss_d
+                return dict(new_d, **d_aux, **stats), new_opt, loss_d
 
             def g_pred_metrics(d_params, feats_real, feats_syn):
                 ctx = Ctx(train=False, dtype=dtype)

@@ -33,11 +33,22 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class Ctx:
-    """Per-call context threaded through apply()."""
+    """Per-call context threaded through apply().
+
+    ``stats``: optional mutable sink for BatchNorm running-stat updates.
+    A train step that wants torch-faithful running statistics passes a fresh
+    dict PER NET apply (key namespaces repeat across nets); BatchNorm layers
+    write momentum-updated ``running_mean``/``running_var``/
+    ``num_batches_tracked`` values into it (chained across repeated forwards
+    of the same net, like torch's sequential in-place updates). The dict must
+    be created INSIDE the differentiated function and returned as grad aux —
+    never hoisted across a jit/grad boundary (tracer leak).
+    """
 
     train: bool = False
     rng: Optional[jax.Array] = None
     dtype: Any = jnp.float32  # compute dtype for convs / activations
+    stats: Optional[Dict[str, Any]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -297,12 +308,13 @@ class BatchNorm2d(Layer):
     """affine=True, track_running_stats=True (models/networks.py:28).
 
     Running stats live in the param dict (non-trainable keys; the trainer
-    filters ``running_`` / ``num_batches`` keys out of the optimizer). In
-    functional style the running-stat update is returned via ctx-free apply:
-    train-mode uses batch stats; stat updates are handled by the model's
-    train step through `batch_stats_updates` when needed. The reference's
-    shipped configs use instance/group norm, so BatchNorm is provided for CLI
-    completeness (``--norm batch``).
+    filters ``running_`` / ``num_batches`` keys out of the optimizer).
+    Train-mode normalization uses batch statistics; when ``ctx.stats`` is
+    provided, torch-momentum running-stat updates are written into it
+    (running_var from the UNBIASED batch variance, torch BatchNorm2d docs)
+    and the model's train step merges them back into the params. In practice
+    this matters for the Gu discriminator (translation_network.py:779-820,
+    BatchNorm by construction) and any net under ``--norm batch``.
     """
 
     def __init__(self, num_features, eps=1e-5, momentum=0.1):
@@ -325,6 +337,20 @@ class BatchNorm2d(Layer):
         if ctx.train:
             mean = jnp.mean(x32, axis=(0, 1, 2))
             var = jnp.var(x32, axis=(0, 1, 2))
+            if ctx.stats is not None:
+                rm_k = prefix + "running_mean"
+                rv_k = prefix + "running_var"
+                nb_k = prefix + "num_batches_tracked"
+                n = x32.shape[0] * x32.shape[1] * x32.shape[2]
+                unbiased = var * (n / (n - 1)) if n > 1 else var
+                # chain across repeated forwards of the same net in one step
+                rm = ctx.stats.get(rm_k, params[rm_k])
+                rv = ctx.stats.get(rv_k, params[rv_k])
+                nb = ctx.stats.get(nb_k, params[nb_k])
+                mom = self.momentum
+                ctx.stats[rm_k] = jax.lax.stop_gradient((1 - mom) * rm + mom * mean)
+                ctx.stats[rv_k] = jax.lax.stop_gradient((1 - mom) * rv + mom * unbiased)
+                ctx.stats[nb_k] = nb + 1
         else:
             mean = params[prefix + "running_mean"]
             var = params[prefix + "running_var"]

@@ -198,15 +198,17 @@ class TranslationModel(BaseModel):
 
     def _d_apply_fn(self):
         dtype = self.compute_dtype
-        ctx_d = Ctx(train=True, dtype=dtype)
 
-        def d_apply(params, name, x):
+        def d_apply(params, name, x, stats=None):
             # planar -> NHWC at the discriminator conv boundary
             if x.ndim == 3:
                 x = x[..., None]
             elif x.ndim == 4 and x.shape[1] == 3:
                 x = jnp.moveaxis(x, 1, -1)
-            return self.nets[name].apply(params[name], x.astype(dtype), ctx_d).astype(jnp.float32)
+            # per-net stats sink: D key namespaces repeat across the four Ds
+            ctx = Ctx(train=True, dtype=dtype,
+                      stats=None if stats is None else stats.setdefault(name, {}))
+            return self.nets[name].apply(params[name], x.astype(dtype), ctx).astype(jnp.float32)
 
         return d_apply
 
@@ -215,16 +217,16 @@ class TranslationModel(BaseModel):
         opt = self.opt
         d_apply = self._d_apply_fn()
 
-        def g_losses(f, params_d, weights):
+        def g_losses(f, params_d, weights, stats=None):
             m = {}
             loss_A = 0.0
             loss_B = 0.0
             if opt.disc_for_depth:
-                loss_A += 0.5 * L.gan_loss(d_apply(params_d, "D_A_depth", f["fake_depth_B"]), True, opt.gan_mode)
-                loss_B += 0.5 * L.gan_loss(d_apply(params_d, "D_B_depth", f["fake_depth_A"]), True, opt.gan_mode)
+                loss_A += 0.5 * L.gan_loss(d_apply(params_d, "D_A_depth", f["fake_depth_B"], stats), True, opt.gan_mode)
+                loss_B += 0.5 * L.gan_loss(d_apply(params_d, "D_B_depth", f["fake_depth_A"], stats), True, opt.gan_mode)
             if opt.disc_for_normals:
-                loss_A += 0.5 * L.gan_loss(d_apply(params_d, "D_A_normal", f["fake_norm_B"]), True, opt.gan_mode)
-                loss_B += 0.5 * L.gan_loss(d_apply(params_d, "D_B_normal", f["fake_norm_A"]), True, opt.gan_mode)
+                loss_A += 0.5 * L.gan_loss(d_apply(params_d, "D_A_normal", f["fake_norm_B"], stats), True, opt.gan_mode)
+                loss_B += 0.5 * L.gan_loss(d_apply(params_d, "D_B_normal", f["fake_norm_A"], stats), True, opt.gan_mode)
             m["G_A"], m["G_B"] = loss_A, loss_B
             if opt.use_cycle_A:
                 not_hole = ~f["hole_mask_A"]
@@ -271,27 +273,27 @@ class TranslationModel(BaseModel):
         opt = self.opt
         d_apply = self._d_apply_fn()
 
-        def d_losses(f, d_full):
+        def d_losses(f, d_full, stats=None):
             m = {}
             total = 0.0
             if opt.disc_for_depth:
                 # D_A: rec_depth_B as "real" (translation_model.py:201)
                 real_A = f["rec_depth_B"] if opt.use_cycle_B else f["real_depth_B"]
                 m["D_A_depth"] = 0.5 * (
-                    L.gan_loss(d_apply(d_full, "D_A_depth", real_A), True, opt.gan_mode)
-                    + L.gan_loss(d_apply(d_full, "D_A_depth", f["fake_depth_B"]), False, opt.gan_mode))
+                    L.gan_loss(d_apply(d_full, "D_A_depth", real_A, stats), True, opt.gan_mode)
+                    + L.gan_loss(d_apply(d_full, "D_A_depth", f["fake_depth_B"], stats), False, opt.gan_mode))
                 m["D_B_depth"] = 0.5 * (
-                    L.gan_loss(d_apply(d_full, "D_B_depth", f["real_depth_A"]), True, opt.gan_mode)
-                    + L.gan_loss(d_apply(d_full, "D_B_depth", f["fake_depth_A"]), False, opt.gan_mode))
+                    L.gan_loss(d_apply(d_full, "D_B_depth", f["real_depth_A"], stats), True, opt.gan_mode)
+                    + L.gan_loss(d_apply(d_full, "D_B_depth", f["fake_depth_A"], stats), False, opt.gan_mode))
                 total += m["D_A_depth"] + m["D_B_depth"]
             if opt.disc_for_normals:
                 real_nA = f["rec_norm_B"] if opt.use_cycle_B else f["real_norm_B"]
                 m["D_A_normal"] = 0.5 * (
-                    L.gan_loss(d_apply(d_full, "D_A_normal", real_nA), True, opt.gan_mode)
-                    + L.gan_loss(d_apply(d_full, "D_A_normal", f["fake_norm_B"]), False, opt.gan_mode))
+                    L.gan_loss(d_apply(d_full, "D_A_normal", real_nA, stats), True, opt.gan_mode)
+                    + L.gan_loss(d_apply(d_full, "D_A_normal", f["fake_norm_B"], stats), False, opt.gan_mode))
                 m["D_B_normal"] = 0.5 * (
-                    L.gan_loss(d_apply(d_full, "D_B_normal", f["real_norm_A"]), True, opt.gan_mode)
-                    + L.gan_loss(d_apply(d_full, "D_B_normal", f["fake_norm_A"]), False, opt.gan_mode))
+                    L.gan_loss(d_apply(d_full, "D_B_normal", f["real_norm_A"], stats), True, opt.gan_mode)
+                    + L.gan_loss(d_apply(d_full, "D_B_normal", f["fake_norm_A"], stats), False, opt.gan_mode))
                 total += m["D_A_normal"] + m["D_B_normal"]
             return total, m
 
@@ -318,16 +320,22 @@ class TranslationModel(BaseModel):
             def loss_fn(gt):
                 g_full = {n: dict(gt[n], **auxs[n]) for n in ["G_A", "G_B"]}
                 f = gen_forward(g_full, batch, rng, True)
-                loss, m = g_losses(f, d_full, weights)
-                return loss, (m, f)
+                # torch keeps Ds in train mode during G steps, so their
+                # BatchNorm running stats advance here too (Gu D case)
+                stats = {}
+                loss, m = g_losses(f, d_full, weights, stats)
+                return loss, (m, f, stats)
 
-            (loss, (m, f)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_train)
+            (loss, (m, f, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_train)
             new_g, new_opt = adam_update(grads, opt_state_g, g_train, lr,
                                          b1=opt.beta1, b2=0.999,
                                          weight_decay=opt.w_decay_G)
             new_params = dict(params)
             for n in ["G_A", "G_B"]:
                 new_params[n] = dict(new_g[n], **auxs[n])
+            for n, upd in stats.items():
+                if upd:
+                    new_params[n] = dict(new_params[n], **upd)
             m["depth_dif_A"] = L.masked_l1_loss(meters(f["real_depth_A"]),
                                                 meters(f["fake_depth_B"]), ~f["hole_mask_A"])
             m["depth_dif_B"] = L.masked_l1_loss(meters(f["real_depth_B"]),
@@ -347,14 +355,18 @@ class TranslationModel(BaseModel):
 
             def loss_fn(dt):
                 d_full = {n: dict(dt[n], **auxs[n]) for n in disc_names}
-                return d_losses(f, d_full)
+                stats = {}
+                total, m = d_losses(f, d_full, stats)
+                return total, (m, stats)
 
-            (total, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_train)
+            (total, (m, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_train)
             new_d, new_opt = adam_update(grads, opt_state_d, d_train, lr,
                                          b1=opt.beta1, b2=0.999)
             new_params = dict(params)
             for n in disc_names:
                 new_params[n] = dict(new_d[n], **auxs[n])
+                if stats.get(n):
+                    new_params[n] = dict(new_params[n], **stats[n])
             return new_params, new_opt, m, rng_next
 
         def eval_step(params, batch, rng):

@@ -60,6 +60,7 @@ def main():
     visualizer = Visualizer(opt)
 
     total_iters = opt.start_iter
+    plateau_metric = None  # running eval/train loss feeding --lr_policy plateau
     for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + opt.epoch_count):
         epoch_start_time = time.time()
         model._epoch = epoch
@@ -110,7 +111,11 @@ def main():
                 model.save_networks(epoch)
             print("End of epoch %d / %d \t Time Taken: %d sec"
                   % (epoch, opt.n_epochs + opt.n_epochs_decay, time.time() - epoch_start_time))
-            model.update_learning_rate(epoch)
+            if not opt.do_test:
+                losses = model.get_current_losses()
+                if losses:
+                    plateau_metric = float(next(iter(losses.values())))
+            model.update_learning_rate(epoch, metric=plateau_metric)
 
         if opt.do_test:
             model.eval()
@@ -121,6 +126,9 @@ def main():
                 model.calculate(stage="test")
                 losses = model.get_current_losses()
                 mean_losses = sum_of_dicts(mean_losses, losses, l / max(opt.batch_size_val, 1))
+            if mean_losses:
+                # feed the plateau LR policy with the epoch's mean test loss
+                plateau_metric = float(next(iter(mean_losses.values())))
             if wandb:
                 wandb.log({"test": dict(mean_losses)}, step=total_iters)
             print("stage:  test")
