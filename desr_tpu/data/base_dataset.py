@@ -51,6 +51,29 @@ def load_depth_png(path):
     return arr
 
 
+def _read_split(split_dir, fname, base_dir):
+    """Read a frozen split list, dedupe preserving order, join onto base_dir.
+
+    The published lists contain duplicates (testA_d.txt lists every name
+    twice); entries whose files are missing on disk are dropped with a
+    warning so partial local mirrors still load.
+    """
+    path = os.path.join(split_dir, fname)
+    seen, names = set(), []
+    with open(path) as f:
+        for line in f:
+            name = line.strip()
+            if name and name not in seen:
+                seen.add(name)
+                names.append(name)
+    paths = [os.path.join(base_dir, n) for n in names]
+    existing = [p for p in paths if os.path.exists(p)]
+    if len(existing) != len(paths):
+        print(f"split {fname}: {len(paths) - len(existing)}/{len(paths)} "
+              f"listed files missing under {base_dir}")
+    return existing
+
+
 class UnpairedFolderDataset:
     """Unpaired sampling: B sequential (index % B_size), A uniform random."""
 
@@ -66,7 +89,27 @@ class UnpairedFolderDataset:
         dir_A_add = opt.A_add_paths if self.train else opt.A_add_paths_test
         dir_B_add = opt.B_add_paths if self.train else opt.B_add_paths_test
 
-        if getattr(opt, "take", 0) > 0:
+        split_dir = getattr(opt, "split_files", "")
+        if split_dir:
+            # frozen split lists (reference split_file_names/*.txt, mirrored
+            # in splits/scannet/): file membership comes from the lists, not
+            # directory walks — pins the published train/test splits exactly.
+            phase = "train" if self.train else "test"
+            self.A_paths = _read_split(split_dir, f"{phase}A_d.txt", dir_A)
+            self.B_paths = _read_split(split_dir, f"{phase}B_d.txt", dir_B)
+            if opt.image_and_depth:
+                self.A_add_paths = _read_split(split_dir, f"{phase}A_i.txt", dir_A_add)
+                self.B_add_paths = _read_split(split_dir, f"{phase}B_i.txt", dir_B_add)
+            if getattr(opt, "take", 0) > 0:
+                np.random.seed(23)
+                idx_A = np.random.randint(0, len(self.A_paths) - 1, opt.take)
+                idx_B = np.random.randint(0, len(self.B_paths) - 1, opt.take)
+                self.A_paths = list(np.array(self.A_paths)[idx_A])
+                self.B_paths = list(np.array(self.B_paths)[idx_B])
+                if opt.image_and_depth:
+                    self.A_add_paths = list(np.array(self.A_add_paths)[idx_A])
+                    self.B_add_paths = list(np.array(self.B_add_paths)[idx_B])
+        elif getattr(opt, "take", 0) > 0:
             np.random.seed(23)  # reference: my_main_dataset.py:118-133
             A = sorted(glob.glob(dir_A + "/*"))
             B = sorted(glob.glob(dir_B + "/*"))
