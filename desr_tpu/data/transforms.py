@@ -5,14 +5,23 @@ image+depth (data/my_main_dataset.py:18-90). albumentations is not available
 here; these functions call cv2 directly with the same interpolation and border
 conventions:
 
-- Resize(interpolation=3) == cv2.INTER_AREA; =1 bilinear, =2 cubic, =4 lanczos
-- Rotate: bilinear, border REFLECT_101 (albumentations defaults)
-- PadIfNeeded: centered, border REFLECT_101 (albumentations default) — the
-  480->512 pad adds 16 reflected rows top and bottom, which is why test-time
-  prediction dumps crop [:, 16:-16, :] (main_model.py:333)
-- RandomCrop / HorizontalFlip applied with shared random params across targets
+Semantics pinned to albumentations==0.4.6 (reference requirements.txt:5):
 
-All functions take and return HWC (or HW) numpy float32 arrays.
+- Resize(interpolation=3) == cv2.INTER_AREA; =1 bilinear, =2 cubic, =4 lanczos
+- Rotate: bilinear, border REFLECT_101, rotation center (w/2, h/2) — 0.4.6
+  rotates about the pixel-grid corner, NOT the (w/2-0.5, h/2-0.5) pixel
+  center later versions use; the half-pixel shift feeds every loss
+- PadIfNeeded: centered (top pad = floor), border REFLECT_101 — the 480->512
+  pad adds 16 reflected rows top and bottom, which is why test-time
+  prediction dumps crop [:, 16:-16, :] (main_model.py:333)
+- RandomCrop: offset = int((extent - crop) * u), u ~ U[0,1) — 0.4.6 never
+  selects the final offset
+- HorizontalFlip / joint application with shared params across targets
+  (additional_targets={'depth': 'image'})
+
+All functions take and return HWC (or HW) numpy float32 arrays. The vendored
+0.4.6 call-level semantics live in tests/test_transforms_albu.py as the
+oracle fixtures.
 """
 
 from __future__ import annotations
@@ -41,7 +50,8 @@ def resize(img, height, width, interpolation=3):
 def rotate(img, angle, interpolation=1, border_mode=None):
     border_mode = cv2.BORDER_REFLECT_101 if border_mode is None else border_mode
     h, w = img.shape[:2]
-    m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
+    # albumentations 0.4.6 F.rotate: center (w/2, h/2), no -0.5 correction
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
     return cv2.warpAffine(img, m, (w, h), flags=interpolation, borderMode=border_mode)
 
 
@@ -58,8 +68,9 @@ def pad_if_needed(img, min_h, min_w, border_mode=None):
 
 
 def random_crop_params(rng, h, w, crop_h, crop_w):
-    y = int(rng.integers(0, max(h - crop_h, 0) + 1))
-    x = int(rng.integers(0, max(w - crop_w, 0) + 1))
+    # albumentations 0.4.6 F.random_crop: offset = int((extent - crop) * u)
+    y = int(max(h - crop_h, 0) * float(rng.uniform()))
+    x = int(max(w - crop_w, 0) * float(rng.uniform()))
     return y, x
 
 
