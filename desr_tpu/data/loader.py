@@ -50,13 +50,19 @@ def collate(samples):
 
 class DataLoader:
     def __init__(self, dataset, batch_size=1, shuffle=True, num_threads=4,
-                 max_dataset_size=2 ** 31, drop_last=False, seed=0):
+                 max_dataset_size=2 ** 31, drop_last=False, seed=0,
+                 device_put_fn=None):
+        """``device_put_fn`` (e.g. ``model.shard``) enables host->device
+        double-buffering: the (async) device transfer of a batch is dispatched
+        the moment its host decode completes — while the device is still
+        executing the previous step — instead of at ``set_input`` time."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(int(num_threads), 0)
         self.max_dataset_size = max_dataset_size
         self.drop_last = drop_last
+        self.device_put_fn = device_put_fn
         self._rng = np.random.default_rng(seed)
         self._pool = None
 
@@ -94,12 +100,21 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
         return batches
 
+    def _finish(self, host_batch):
+        # jax.device_put is async: dispatching here (right after host decode)
+        # overlaps the transfer with the in-flight device step. Non-array
+        # values (path strings) stay host-side.
+        if self.device_put_fn is not None:
+            arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
+            return {**host_batch, **self.device_put_fn(arrays)}
+        return host_batch
+
     def __iter__(self) -> Iterator[dict]:
         batches = self._batches()
         use_procs = (self.num_workers > 1 and hasattr(os, "fork"))
         if not use_procs:
             for idxs in batches:
-                yield collate([self.dataset[int(i)] for i in idxs])
+                yield self._finish(collate([self.dataset[int(i)] for i in idxs]))
             return
 
         pool = self._get_pool()  # persistent across epochs
@@ -110,10 +125,10 @@ class DataLoader:
             while bi < len(batches) and len(pending) < 2:
                 pending.append(pool.map_async(_worker_get, list(batches[bi])))
                 bi += 1
-            yield collate(pending.pop(0).get())
+            yield self._finish(collate(pending.pop(0).get()))
 
 
-def create_dataset(opt, custom=None, stage="train"):
+def create_dataset(opt, custom=None, stage="train", device_put_fn=None):
     """Mirror of reference create_dataset (data/__init__.py:48-60)."""
     if custom is None:
         from desr_tpu.data import dataset_for_model
@@ -129,4 +144,5 @@ def create_dataset(opt, custom=None, stage="train"):
         num_threads=int(opt.num_threads),
         max_dataset_size=getattr(opt, "max_dataset_size", 2 ** 31),
         seed=getattr(opt, "seed", 0),
+        device_put_fn=device_put_fn,
     )

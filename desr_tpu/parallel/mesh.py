@@ -64,7 +64,12 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     rep = replicated_sharding(mesh)
 
     def put(x):
+        if isinstance(x, jax.Array):
+            return x  # already transferred (loader-side device prefetch)
+        orig = x
         x = np.asarray(x)
+        if not np.issubdtype(x.dtype, np.number) and x.dtype != np.bool_:
+            return orig  # path strings etc. stay host-side
         if x.ndim >= 1 and x.shape[0] % n_data == 0:
             spec = [axis_name] + [None] * (x.ndim - 1)
             if (spatial and x.ndim >= 3 and x.shape[1] >= 32

@@ -48,8 +48,12 @@ def main():
 
     model = create_model(opt)
     dataset_cls = dataset_for_model(opt)
-    dataset = create_dataset(opt, dataset_cls) if opt.do_train else None
-    test_dataset = create_dataset(opt, dataset_cls, stage="test") if opt.do_test else None
+    # device_put_fn: host->device transfers dispatch inside the loader the
+    # moment a host batch is ready, overlapping the in-flight device step
+    dataset = (create_dataset(opt, dataset_cls, device_put_fn=model.shard)
+               if opt.do_train else None)
+    test_dataset = (create_dataset(opt, dataset_cls, stage="test", device_put_fn=model.shard)
+                    if opt.do_test else None)
     if dataset is not None:
         print("The number of training images = %d" % len(dataset))
 
