@@ -82,8 +82,11 @@ class I2DModel(BaseModel):
         image_f, task = self.nets["Image_f"], self.nets["Task"]
         g_nets = list(self._g_trainable_nets)
 
+        mesh = self.mesh
+
         def forward(params, batch, rng, train):
-            ctx = Ctx(train=train, rng=rng, dtype=dtype)
+            ctx = Ctx(train=train, rng=rng, dtype=dtype, mesh=mesh,
+                      remat_tails=getattr(opt, 'remat_tails', False))
             feats_syn = image_f.apply(params["Image_f"], batch["A_i"].astype(dtype), ctx)
             feats_real = image_f.apply(params["Image_f"], batch["B_i"].astype(dtype), ctx)
             pred_syn = task.apply(params["Task"], feats_syn, ctx).astype(jnp.float32)

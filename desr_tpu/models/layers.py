@@ -49,6 +49,38 @@ class Ctx:
     rng: Optional[jax.Array] = None
     dtype: Any = jnp.float32  # compute dtype for convs / activations
     stats: Optional[Dict[str, Any]] = None
+    mesh: Any = None  # jax.sharding.Mesh for explicit layout anchors
+    remat_tails: bool = False  # recompute norm/act tails in backward (see Sequential)
+
+
+def spatial_anchor(x, ctx, min_rows_per_shard=16):
+    """Anchor an NHWC activation's layout on a ('data', 'spatial') mesh.
+
+    GSPMD propagates the input batch's H-sharding all the way down U-Net
+    pyramids; once H collapses to a few rows the spatial layout is degenerate
+    and the partitioner oscillates between data- and spatial-sharded layouts,
+    falling back to 'Involuntary full rematerialization' (replicate + reshard)
+    on the deep levels. Explicit constraints pin big levels to
+    ('data','spatial') and small levels to ('data',), removing the ambiguity.
+    No-op on 1-D meshes or off-mesh tracing.
+    """
+    mesh = ctx.mesh
+    if mesh is None or "spatial" not in getattr(mesh, "axis_names", ()):
+        return x
+    if x.ndim != 4:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_sp = mesh.shape["spatial"]
+    n_data = mesh.shape["data"]
+    if n_sp <= 1:
+        return x
+    batch = "data" if x.shape[0] % n_data == 0 else None
+    if x.shape[1] % n_sp == 0 and x.shape[1] >= min_rows_per_shard * n_sp:
+        spec = P(batch, "spatial", None, None)
+    else:
+        spec = P(batch, None, None, None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,8 +184,51 @@ class Sequential(Layer):
         return params
 
     def apply(self, params, x, prefix, ctx):
+        if ctx.remat_tails:
+            return self._apply_remat_tails(params, x, prefix, ctx)
         for i, lyr in enumerate(self.layers):
             x = lyr.apply(params, x, f"{prefix}{i}.", ctx)
+        return x
+
+    def _apply_remat_tails(self, params, x, prefix, ctx):
+        """Save conv outputs only; recompute norm/activation tails in backward.
+
+        The VJP of a conv -> norm -> act chain ordinarily stores every
+        intermediate (conv out for the norm grad, normalized out for the act
+        grad, act out for the next conv's weight grad) — at HR resolutions
+        those saves dominate the HBM bytes/step. Grouping each
+        [cheap-elementwise..., conv] segment under jax.checkpoint keeps only
+        the segment INPUTS (= the previous conv's output): the norms and
+        activations are recomputed during the backward pass, trading a small
+        amount of VPU recompute for large HBM savings (PERF.md round-2 #1).
+        Composite layers recurse and group internally; BatchNorm2d is a
+        barrier (its running-stat sink must not execute in the rematerialized
+        trace).
+        """
+        cheap = (InstanceNorm2d, GroupNorm, ReLU, LeakyReLU, Tanh,
+                 ReflectionPad2d, ReplicationPad2d, Dropout)
+        closer = (Conv2d, ConvTranspose2d)
+        layers, n = self.layers, len(self.layers)
+        i = 0
+        while i < n:
+            if not isinstance(layers[i], cheap):
+                # conv with no cheap prefix, or a composite/barrier layer
+                x = layers[i].apply(params, x, f"{prefix}{i}.", ctx)
+                i += 1
+                continue
+            j = i
+            while j < n and isinstance(layers[j], cheap):
+                j += 1
+            if j < n and isinstance(layers[j], closer):
+                j += 1  # include the closing conv so its input is recomputed
+
+            def seg(p, y, lo=i, hi=j):
+                for k in range(lo, hi):
+                    y = layers[k].apply(p, y, f"{prefix}{k}.", ctx)
+                return y
+
+            x = jax.checkpoint(seg)(params, x)
+            i = j
         return x
 
 

@@ -137,8 +137,11 @@ class MainModel(BaseModel):
         task = self.nets["Task"]
         remat = _maybe_remat(getattr(opt, "remat", False))
 
+        mesh = self.mesh
+
         def forward(params, batch, rng, train):
-            ctx = Ctx(train=train, rng=rng, dtype=dtype)
+            ctx = Ctx(train=train, rng=rng, dtype=dtype, mesh=mesh,
+                      remat_tails=getattr(opt, 'remat_tails', False))
             ga_ap = remat(lambda p, d, im: g_a_d.apply(p, d, im, ctx))
             i2df_ap = remat(lambda p, x: i2d_f.apply(p, x, ctx))
             i2d_ap = remat(lambda p, x: i2d.apply(p, x, ctx))

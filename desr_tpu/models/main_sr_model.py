@@ -70,8 +70,11 @@ class MainSRModel(MainModel):
         hr_hw = (opt.crop_size_h * 2, opt.crop_size_w * 2)
         remat = _maybe_remat(getattr(opt, "remat", False))
 
+        mesh = self.mesh
+
         def forward(params, batch, rng, train):
-            ctx = Ctx(train=train, rng=rng, dtype=dtype)
+            ctx = Ctx(train=train, rng=rng, dtype=dtype, mesh=mesh,
+                      remat_tails=getattr(opt, 'remat_tails', False))
             ga_ap = remat(lambda p, d, im: g_a_d.apply(p, d, im, ctx))
             i2df_ap = remat(lambda p, x: i2d_f.apply(p, x, ctx))
             i2d_ap = remat(lambda p, x: i2d.apply(p, x, ctx))

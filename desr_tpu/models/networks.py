@@ -176,7 +176,9 @@ class _UnetBlock(Layer):
         return self.model.init(key, prefix + "model.", cfg)
 
     def apply(self, params, x, prefix, ctx):
-        out = self.model.apply(params, x, prefix + "model.", ctx)
+        # pin the dp x sp layout per pyramid level (see layers.spatial_anchor)
+        x = L.spatial_anchor(x, ctx)
+        out = L.spatial_anchor(self.model.apply(params, x, prefix + "model.", ctx), ctx)
         if self.outermost:
             return out
         return jnp.concatenate([x, out], axis=-1)

@@ -157,7 +157,8 @@ class TranslationModel(BaseModel):
 
         def gen_forward(params_g, batch, rng, train):
             # depth maps are planar (B, H, W) in f; NHWC only at net boundaries
-            ctx = Ctx(train=train, rng=rng, dtype=dtype)
+            ctx = Ctx(train=train, rng=rng, dtype=dtype,
+                      remat_tails=getattr(opt, 'remat_tails', False))
             depth_A, img_A = batch["A_depth"], batch["A_img"].astype(dtype)
             depth_B, img_B = batch["B_depth"], batch["B_img"].astype(dtype)
             dA, dB = depth_A[..., 0], depth_B[..., 0]

@@ -87,6 +87,10 @@ class BaseOptions:
                             help="jax.checkpoint the heavy nets in the train step "
                                  "(trade ~30%% recompute for activation HBM; needed "
                                  "for full-resolution SR fine-tune batches)")
+        parser.add_argument("--remat_tails", action="store_true",
+                            help="scoped remat: save only conv outputs, recompute "
+                                 "norm/activation tails in the backward pass "
+                                 "(cuts HBM bytes/step; cheap VPU recompute)")
         self.initialized = True
         return parser
 

@@ -140,9 +140,11 @@ def test_spatial_matches_single_device_loss():
     assert loss_sp == pytest.approx(loss_1, rel=1e-5)
 
 
-def test_spatial_train_step_runs():
-    """One full optimize_parameters on the 2x2 mesh stays finite and keeps
-    params replicated."""
+def test_spatial_train_step_runs(capfd):
+    """One full optimize_parameters on the 2x2 mesh stays finite, keeps
+    params replicated, compiles WITHOUT GSPMD involuntary-rematerialization
+    fallbacks (the spatial_anchor layout pins), and carries the expected
+    collectives: grad all-reduce + halo-exchange collective-permute."""
     from desr_tpu.models.i2d_model import I2DModel
 
     argv = [
@@ -162,6 +164,17 @@ def test_spatial_train_step_runs():
     model = I2DModel(opt)
     model.setup()
     model.set_input(batch)
+
+    # HLO-level checks on the dp x sp program
+    lowered = model._train_step.lower(model.params, model.opt_state_G,
+                                      model._batch, model.step_rng(),
+                                      model.lr_scalar())
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "gradient all-reduce missing from the program"
+    assert "collective-permute" in hlo, "conv halo exchange missing"
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err
+
     model.optimize_parameters(1)
     assert np.isfinite(float(model.metrics["G"]))
     w = model.params["Task"]["model.model.0.weight"]
