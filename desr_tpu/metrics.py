@@ -31,43 +31,37 @@ filter_basename = lambda x: os.path.splitext(os.path.basename(x))[0]  # noqa: E7
 
 
 def coords_to_normals(coords):
-    """First-order normals from a point cloud (new_metrics.py:19-46)."""
-    dxdu = np.diff(coords[0], axis=1)
-    dydu = np.diff(coords[1], axis=1)
-    dzdu = np.diff(coords[2], axis=1)
-    dxdv = np.diff(coords[0], axis=0)
-    dydv = np.diff(coords[1], axis=0)
-    dzdv = np.diff(coords[2], axis=0)
-    pad_u = lambda a: np.concatenate([a, a[:, -1:]], axis=1)  # noqa: E731
-    pad_v = lambda a: np.concatenate([a, a[-1:, :]], axis=0)  # noqa: E731
-    dxdu, dydu, dzdu = pad_u(dxdu), pad_u(dydu), pad_u(dzdu)
-    dxdv, dydv, dzdv = pad_v(dxdv), pad_v(dydv), pad_v(dzdv)
-    n_x = dydv * dzdu - dydu * dzdv
-    n_y = dzdv * dxdu - dzdu * dxdv
-    n_z = dxdv * dydu - dxdu * dydv
-    n = np.stack([n_x, n_y, n_z], axis=0)
-    norm = np.linalg.norm(n, axis=0, keepdims=True)
-    return n / np.maximum(norm, 1e-12)
+    """First-order normals from a (3, H, W) point cloud (new_metrics.py:19-46).
+
+    Forward differences along each image axis, edge-replicated to full size,
+    crossed (row-tangent x col-tangent) and unit-normalized — the same formula
+    the reference expands component-wise.
+    """
+    along_w = np.diff(coords, axis=2)
+    along_h = np.diff(coords, axis=1)
+    along_w = np.concatenate([along_w, along_w[:, :, -1:]], axis=2)
+    along_h = np.concatenate([along_h, along_h[:, -1:, :]], axis=1)
+    normals = np.cross(along_h, along_w, axis=0)
+    length = np.linalg.norm(normals, axis=0, keepdims=True)
+    return normals / np.maximum(length, 1e-12)
 
 
 def depth_to_absolute_coordinates(depth, depth_type, K, shift=0.5):
-    """(new_metrics.py:48-68), orthogonal convention."""
+    """Unproject a depth map through K into a (3, H, W) point cloud
+    (new_metrics.py:48-68; the eval convention is "orthogonal": z = depth)."""
     h, w = depth.shape[-2:]
     K = np.asarray(K, dtype=np.float64)
-    v, u = np.meshgrid(np.arange(h, dtype=np.float64) + shift,
-                       np.arange(w, dtype=np.float64) + shift, indexing="ij")
-    ones = np.ones_like(v)
-    pix = np.stack([u, v, ones], axis=0)
-    points = np.einsum("lk,kij->lij", np.linalg.inv(K), pix)
+    cols = np.arange(w, dtype=np.float64) + shift
+    rows = np.arange(h, dtype=np.float64) + shift
+    homog = np.stack([np.broadcast_to(cols[None, :], (h, w)),
+                      np.broadcast_to(rows[:, None], (h, w)),
+                      np.ones((h, w))], axis=0)
+    rays = np.tensordot(np.linalg.inv(K), homog, axes=1)
     if depth_type == "orthogonal":
-        points = points / points[2:3]
-        points = points * depth
-    elif depth_type == "perspective":
-        points = points / np.linalg.norm(points, axis=0, keepdims=True)
-        points = points * depth
-    else:
-        raise ValueError(f"Unknown type {depth_type}")
-    return points
+        return rays / rays[2:3] * depth
+    if depth_type == "perspective":
+        return rays / np.linalg.norm(rays, axis=0, keepdims=True) * depth
+    raise ValueError(f"Unknown type {depth_type}")
 
 
 def fspecial_gauss(size, sigma):

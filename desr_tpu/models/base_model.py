@@ -84,6 +84,15 @@ class BaseModel:
             return jax.jit(fn)
         return jax.jit(fn, donate_argnums=(0, 1))
 
+    def lower_train_step(self):
+        """Lower (without executing) the jitted train step on the current batch.
+
+        Diagnostics hook: tools/hlo_bytes.py ranks the compiled HLO's
+        instructions by HBM-byte estimates. Requires setup() + set_input().
+        """
+        return self._train_step.lower(self.params, self.opt_state_G, self._batch,
+                                      self.step_rng(), self.lr_scalar())
+
     # -- checkpoints ---------------------------------------------------------
 
     def save_dir(self):
