@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from desr_tpu.models import networks
 from desr_tpu.models.base_model import BaseModel, split_trainable
-from desr_tpu.models.layers import Ctx
+from desr_tpu.models.layers import Ctx, ctx_flags
 from desr_tpu.ops import losses as L
 from desr_tpu.ops import normals as NRM
 from desr_tpu.ops.optim import adam_init, adam_update
@@ -86,7 +86,7 @@ class I2DModel(BaseModel):
 
         def forward(params, batch, rng, train):
             ctx = Ctx(train=train, rng=rng, dtype=dtype, mesh=mesh,
-                      remat_tails=getattr(opt, 'remat_tails', False))
+                      **ctx_flags(opt))
             feats_syn = image_f.apply(params["Image_f"], batch["A_i"].astype(dtype), ctx)
             feats_real = image_f.apply(params["Image_f"], batch["B_i"].astype(dtype), ctx)
             pred_syn = task.apply(params["Task"], feats_syn, ctx).astype(jnp.float32)

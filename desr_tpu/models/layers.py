@@ -51,6 +51,20 @@ class Ctx:
     stats: Optional[Dict[str, Any]] = None
     mesh: Any = None  # jax.sharding.Mesh for explicit layout anchors
     remat_tails: bool = False  # recompute norm/act tails in backward (see Sequential)
+    fused_pad: bool = True  # border-strip pad+conv fusion (see Conv2d.apply_pad_fused)
+    split_conv: bool = True  # channel-split first conv (see Conv2d.apply_split)
+    onepass_stats: bool = True  # one-pass InstanceNorm stats (see _sum_and_sumsq_hw)
+
+
+def ctx_flags(opt):
+    """Ctx kwargs for the opt-gated compute-path choices (all default on;
+    the --no_* flags exist for A/B perf isolation and debugging)."""
+    return dict(
+        remat_tails=getattr(opt, "remat_tails", False),
+        fused_pad=not getattr(opt, "no_fused_pad", False),
+        split_conv=not getattr(opt, "no_split_conv", False),
+        onepass_stats=not getattr(opt, "no_onepass_stats", False),
+    )
 
 
 def spatial_anchor(x, ctx, min_rows_per_shard=16):
@@ -183,14 +197,37 @@ class Sequential(Layer):
             params.update(lyr.init(k, f"{prefix}{i}.", cfg))
         return params
 
-    def apply(self, params, x, prefix, ctx):
+    def apply(self, params, x, prefix, ctx, start=0):
         if ctx.remat_tails:
-            return self._apply_remat_tails(params, x, prefix, ctx)
-        for i, lyr in enumerate(self.layers):
+            return self._apply_remat_tails(params, x, prefix, ctx, start)
+        return self._run(params, x, prefix, ctx, start, len(self.layers))
+
+    def _run(self, params, x, prefix, ctx, lo, hi):
+        """Run layers [lo, hi) with the pad+conv fusion peephole.
+
+        A [ReflectionPad2d/ReplicationPad2d(p), Conv2d(k=2p+1, pad=0,
+        stride=1)] pair — the only way these nets use explicit pads — is
+        routed to Conv2d.apply_pad_fused, which never materializes the padded
+        tensor (the HLO concat lowering of jnp.pad was 13% of the SR step's
+        compiler-estimated cycles). Param keys are untouched: the conv keeps
+        its original Sequential index.
+        """
+        i = lo
+        while i < hi:
+            lyr = self.layers[i]
+            nxt = self.layers[i + 1] if i + 1 < hi else None
+            if (ctx.fused_pad and isinstance(lyr, (ReflectionPad2d, ReplicationPad2d))
+                    and isinstance(nxt, Conv2d) and nxt.padding == 0
+                    and nxt.fused_pad_ok(x, lyr.pad)):
+                mode = "reflect" if isinstance(lyr, ReflectionPad2d) else "edge"
+                x = nxt.apply_pad_fused(params, x, f"{prefix}{i + 1}.", ctx, lyr.pad, mode)
+                i += 2
+                continue
             x = lyr.apply(params, x, f"{prefix}{i}.", ctx)
+            i += 1
         return x
 
-    def _apply_remat_tails(self, params, x, prefix, ctx):
+    def _apply_remat_tails(self, params, x, prefix, ctx, start=0):
         """Save conv outputs only; recompute norm/activation tails in backward.
 
         The VJP of a conv -> norm -> act chain ordinarily stores every
@@ -209,11 +246,11 @@ class Sequential(Layer):
                  ReflectionPad2d, ReplicationPad2d, Dropout)
         closer = (Conv2d, ConvTranspose2d)
         layers, n = self.layers, len(self.layers)
-        i = 0
+        i = start
         while i < n:
             if not isinstance(layers[i], cheap):
                 # conv with no cheap prefix, or a composite/barrier layer
-                x = layers[i].apply(params, x, f"{prefix}{i}.", ctx)
+                x = self._run(params, x, prefix, ctx, i, i + 1)
                 i += 1
                 continue
             j = i
@@ -223,9 +260,7 @@ class Sequential(Layer):
                 j += 1  # include the closing conv so its input is recomputed
 
             def seg(p, y, lo=i, hi=j):
-                for k in range(lo, hi):
-                    y = layers[k].apply(p, y, f"{prefix}{k}.", ctx)
-                return y
+                return self._run(p, y, prefix, ctx, lo, hi)
 
             x = jax.checkpoint(seg)(params, x)
             i = j
@@ -257,29 +292,129 @@ class Conv2d(Layer):
             p[prefix + "bias"] = jnp.zeros((self.out_ch,), jnp.float32)
         return p
 
+    def _conv(self, x, w, pad_h, pad_w):
+        # note: no preferred_element_type — TPU MXU accumulates bf16 convs in
+        # f32 natively, and an explicit f32 accumulation dtype breaks the VJP
+        # (f32 cotangent vs bf16 weight dtype mismatch)
+        return jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(self.stride, self.stride),
+            padding=(pad_h, pad_w),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        )
+
+    def fused_pad_ok(self, x, p):
+        """apply_pad_fused preconditions: stride-1 'same' conv on a tensor
+        big enough that the four border strips don't overlap."""
+        return (self.stride == 1 and self.dilation == 1 and self.k == 2 * p + 1
+                and p > 0 and x.ndim == 4
+                and x.shape[1] >= self.k + p and x.shape[2] >= self.k + p)
+
     def apply(self, params, x, prefix, ctx):
         w = params[prefix + "weight"].astype(ctx.dtype)
         x = x.astype(ctx.dtype)
         pad = self.padding
         if pad and self.padding_mode != "zeros":
+            if ctx.fused_pad and self.fused_pad_ok(x, pad):
+                return self._pad_fused(params, x, prefix, ctx, w, pad,
+                                       _PAD_MODE[self.padding_mode])
             mode = _PAD_MODE[self.padding_mode]
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode=mode)
             conv_pad = ((0, 0), (0, 0))
         else:
             conv_pad = ((pad, pad), (pad, pad))
-        # note: no preferred_element_type — TPU MXU accumulates bf16 convs in
-        # f32 natively, and an explicit f32 accumulation dtype breaks the VJP
-        # (f32 cotangent vs bf16 weight dtype mismatch)
-        out = jax.lax.conv_general_dilated(
-            x, w,
-            window_strides=(self.stride, self.stride),
-            padding=conv_pad,
-            rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        ).astype(ctx.dtype)
+        out = self._conv(x, w, conv_pad[0], conv_pad[1]).astype(ctx.dtype)
         if self.bias:
             out = out + params[prefix + "bias"].astype(ctx.dtype)
         return out
+
+    def apply_pad_fused(self, params, x, prefix, ctx, p, mode):
+        """[ReflectionPad2d/ReplicationPad2d(p), this conv(pad=0)] as one op."""
+        w = params[prefix + "weight"].astype(ctx.dtype)
+        return self._pad_fused(params, x.astype(ctx.dtype), prefix, ctx, w, p, mode)
+
+    def _pad_fused(self, params, x, prefix, ctx, w, p, mode):
+        """Zero-padded conv + exact thin border strips.
+
+        jnp.pad(reflect/edge) lowers to reverse+concatenate chains that copy
+        the full tensor twice (and its VJP to dynamic-update-slice chains) —
+        measured 13% of the SR step's compiler-estimated cycles. A zero-padded
+        conv is already correct for every output pixel whose window stays
+        inside the image; only a p-wide output ring sees the padding. So: run
+        the conv with zero padding (fused, no materialization), then compute
+        the ring exactly with four thin strip convs on (k-1+p)-wide slices
+        padded with the true reflect/edge values, and patch them in. Left and
+        right strips span the full height and own the corners; top and bottom
+        strips cover the interior columns.
+        """
+        k, H, W = self.k, x.shape[1], x.shape[2]
+
+        def rows_lo(t):  # p padding rows above t's first row
+            return t[:, p:0:-1] if mode == "reflect" else jnp.repeat(t[:, :1], p, axis=1)
+
+        def rows_hi(t):  # p padding rows below t's last row
+            n = t.shape[1]
+            return (t[:, n - 2:n - 2 - p:-1] if mode == "reflect"
+                    else jnp.repeat(t[:, n - 1:n], p, axis=1))
+
+        out = self._conv(x, w, (p, p), (p, p))
+
+        # left/right: full height, p columns, exact corners
+        if mode == "reflect":
+            l_pad, r_pad = x[:, :, p:0:-1], x[:, :, W - 2:W - 2 - p:-1]
+        else:
+            l_pad = jnp.repeat(x[:, :, :1], p, axis=2)
+            r_pad = jnp.repeat(x[:, :, W - 1:W], p, axis=2)
+
+        xl = jnp.concatenate([l_pad, x[:, :, :k - 1]], axis=2)
+        xl = jnp.concatenate([rows_lo(xl), xl, rows_hi(xl)], axis=1)
+        left = self._conv(xl, w, (0, 0), (0, 0))  # (B, H, p, O)
+
+        xr = jnp.concatenate([x[:, :, W - (k - 1):], r_pad], axis=2)
+        xr = jnp.concatenate([rows_lo(xr), xr, rows_hi(xr)], axis=1)
+        right = self._conv(xr, w, (0, 0), (0, 0))
+
+        # top/bottom: p rows, interior columns (zero col-pad is exact there)
+        xt = jnp.concatenate([rows_lo(x), x[:, :k - 1]], axis=1)
+        top = self._conv(xt, w, (0, 0), (p, p))[:, :, p:W - p]
+        xb = jnp.concatenate([x[:, H - (k - 1):], rows_hi(x)], axis=1)
+        bottom = self._conv(xb, w, (0, 0), (p, p))[:, :, p:W - p]
+
+        out = out.at[:, :, :p].set(left)
+        out = out.at[:, :, W - p:].set(right)
+        out = out.at[:, :p, p:W - p].set(top)
+        out = out.at[:, H - p:, p:W - p].set(bottom)
+        out = out.astype(ctx.dtype)
+        if self.bias:
+            out = out + params[prefix + "bias"].astype(ctx.dtype)
+        return out
+
+    def apply_split(self, params, parts, prefix, ctx):
+        """conv(concat(parts, axis=-1)) as a sum of channel-sliced convs.
+
+        The SR/main Task input is a 133-channel HR concatenate whose HLO
+        materialization cost two ~35 ms layout copies per step; splitting the
+        first conv over the operands reads each input exactly once and never
+        builds the concatenated tensor. Zero padding commutes with the
+        channel split, so this is the same math in a different summation
+        order.
+        """
+        w = params[prefix + "weight"].astype(ctx.dtype)
+        pad = self.padding
+        acc = None
+        lo = 0
+        for part in parts:
+            c = part.shape[-1]
+            y = self._conv(part.astype(ctx.dtype), w[:, lo:lo + c],
+                           (pad, pad), (pad, pad))
+            acc = y if acc is None else acc + y
+            lo += c
+        assert lo == self.in_ch, f"split channels {lo} != in_ch {self.in_ch}"
+        acc = acc.astype(ctx.dtype)
+        if self.bias:
+            acc = acc + params[prefix + "bias"].astype(ctx.dtype)
+        return acc
 
 
 class ConvTranspose2d(Layer):
@@ -325,6 +460,35 @@ class ConvTranspose2d(Layer):
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def _sum_and_sumsq_hw(x):
+    """One-pass (sum, sum of squares) over the H, W axes of an NHWC tensor.
+
+    Two separate jnp.mean reductions read the full activation twice; the HLO
+    profile (tools/hlo_bytes.py) showed them unfused at ~6.5% of the SR
+    step's estimated cycles. A single variadic lax.reduce makes one pass; the
+    custom VJP (lax.reduce with a non-monoid tuple computation has no
+    autodiff rule) is the same single-pass expression the E[x^2]-E[x]^2
+    gradient had: g_sum + 2 x g_sumsq, broadcast back.
+    """
+    x32 = x.astype(jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    return jax.lax.reduce((x32, jnp.square(x32)), (zero, zero),
+                          lambda a, b: (a[0] + b[0], a[1] + b[1]), (1, 2))
+
+
+def _sum_and_sumsq_hw_fwd(x):
+    return _sum_and_sumsq_hw(x), x
+
+
+def _sum_and_sumsq_hw_bwd(x, g):
+    g_s, g_s2 = g[0][:, None, None, :], g[1][:, None, None, :]
+    return ((g_s + 2.0 * x.astype(jnp.float32) * g_s2).astype(x.dtype),)
+
+
+_sum_and_sumsq_hw.defvjp(_sum_and_sumsq_hw_fwd, _sum_and_sumsq_hw_bwd)
+
+
 class InstanceNorm2d(Layer):
     """affine=False, track_running_stats=False (models/networks.py:30).
 
@@ -339,8 +503,14 @@ class InstanceNorm2d(Layer):
         # E[x^2] - E[x]^2 form: the VJP stays in the compute dtype (the
         # centered form materializes full-tensor f32 (x - mean) residuals in
         # the backward pass — the dominant HBM cost at SR resolutions).
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-        meansq = jnp.mean(jnp.square(x), axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        if ctx.onepass_stats:
+            n = x.shape[1] * x.shape[2]
+            s, s2 = _sum_and_sumsq_hw(x)
+            mean = (s / n)[:, None, None, :]
+            meansq = (s2 / n)[:, None, None, :]
+        else:
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+            meansq = jnp.mean(jnp.square(x), axis=(1, 2), keepdims=True, dtype=jnp.float32)
         var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         scale = jax.lax.rsqrt(var + self.eps).astype(ctx.dtype)
         return (x - mean.astype(ctx.dtype)) * scale

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from desr_tpu.models import networks, translation_networks
 from desr_tpu.models.base_model import BaseModel, split_trainable
-from desr_tpu.models.layers import Ctx
+from desr_tpu.models.layers import Ctx, ctx_flags
 from desr_tpu.ops import depth as DPT
 from desr_tpu.ops import losses as L
 from desr_tpu.ops import pallas_kernels as PK
@@ -141,12 +141,13 @@ class MainModel(BaseModel):
 
         def forward(params, batch, rng, train):
             ctx = Ctx(train=train, rng=rng, dtype=dtype, mesh=mesh,
-                      remat_tails=getattr(opt, 'remat_tails', False))
+                      **ctx_flags(opt))
             ga_ap = remat(lambda p, d, im: g_a_d.apply(p, d, im, ctx))
             i2df_ap = remat(lambda p, x: i2d_f.apply(p, x, ctx))
             i2d_ap = remat(lambda p, x: i2d.apply(p, x, ctx))
             depthf_ap = remat(lambda p, x: depth_f.apply(p, x, ctx))
-            task_ap = remat(lambda p, x: task.apply(p, x, ctx))
+            # channel-split entry: the 4-tensor input concat never materializes
+            task_ap = remat(lambda p, *parts: task.apply_parts(p, parts, ctx))
 
             syn_image, real_image = batch["A_i"].astype(dtype), batch["B_i"].astype(dtype)
             # planar (B, H, W) depth maps for the mask/loss tail — TPU tiles
@@ -185,10 +186,10 @@ class MainModel(BaseModel):
             real_pair = jnp.stack([depth_masked, real_dbi], axis=-1).astype(dtype)
             feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
             feat_real_d = depthf_ap(params["Depth_f"], real_pair)
-            pred_syn = task_ap(params["Task"], jnp.concatenate(
-                [feats_syn, feat_syn_d, syn_pair, syn_image], axis=-1))[..., 0].astype(jnp.float32)
-            pred_real = task_ap(params["Task"], jnp.concatenate(
-                [feats_real, feat_real_d, real_pair, real_image], axis=-1))[..., 0].astype(jnp.float32)
+            pred_syn = task_ap(params["Task"], feats_syn, feat_syn_d, syn_pair,
+                               syn_image)[..., 0].astype(jnp.float32)
+            pred_real = task_ap(params["Task"], feats_real, feat_real_d, real_pair,
+                                real_image)[..., 0].astype(jnp.float32)
 
             return dict(
                 syn_image=batch["A_i"], real_image=batch["B_i"],

@@ -53,6 +53,15 @@ class Net:
     def apply(self, params, x, ctx: Ctx = Ctx()):
         return self.root.apply(params, x, self.root_prefix, ctx)
 
+    def apply_parts(self, params, parts, ctx: Ctx = Ctx()):
+        """Apply on a channel-split input without concatenating it (see
+        Conv2d.apply_split); falls back to concat when the root doesn't
+        support split inputs."""
+        if hasattr(self.root, "apply_parts"):
+            return self.root.apply_parts(params, parts, self.root_prefix, ctx)
+        return self.root.apply(params, jnp.concatenate(parts, axis=-1),
+                               self.root_prefix, ctx)
+
     def param_count(self, params):
         return sum(int(v.size) for v in params.values())
 
@@ -182,6 +191,20 @@ class _UnetBlock(Layer):
         if self.outermost:
             return out
         return jnp.concatenate([x, out], axis=-1)
+
+    def apply_parts(self, params, parts, prefix, ctx):
+        """Outermost-only entry that feeds a channel-split input straight to
+        the first downconv (Conv2d.apply_split) — the caller's channel
+        concatenate never materializes."""
+        assert self.outermost, "apply_parts is an outermost U-Net entry"
+        if not ctx.split_conv:
+            return self.apply(params, jnp.concatenate(parts, axis=-1), prefix, ctx)
+        parts = [L.spatial_anchor(p, ctx) for p in parts]
+        seq = self.model
+        downconv = seq.layers[0]
+        y = downconv.apply_split(params, parts, prefix + "model.0.", ctx)
+        out = seq.apply(params, y, prefix + "model.", ctx, start=1)
+        return L.spatial_anchor(out, ctx)
 
 
 def _unet_generator(input_nc, output_nc, num_downs, ngf, norm_factory, use_bias,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from desr_tpu.models import translation_networks as TN
 from desr_tpu.models.base_model import BaseModel, split_trainable
-from desr_tpu.models.layers import Ctx
+from desr_tpu.models.layers import Ctx, ctx_flags
 from desr_tpu.ops import losses as L
 from desr_tpu.ops.normals import surface_normals_fov_planar
 from desr_tpu.ops.optim import adam_init, adam_update
@@ -158,7 +158,7 @@ class TranslationModel(BaseModel):
         def gen_forward(params_g, batch, rng, train):
             # depth maps are planar (B, H, W) in f; NHWC only at net boundaries
             ctx = Ctx(train=train, rng=rng, dtype=dtype,
-                      remat_tails=getattr(opt, 'remat_tails', False))
+                      **ctx_flags(opt))
             depth_A, img_A = batch["A_depth"], batch["A_img"].astype(dtype)
             depth_B, img_B = batch["B_depth"], batch["B_img"].astype(dtype)
             dA, dB = depth_A[..., 0], depth_B[..., 0]

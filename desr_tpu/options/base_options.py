@@ -91,6 +91,15 @@ class BaseOptions:
                             help="scoped remat: save only conv outputs, recompute "
                                  "norm/activation tails in the backward pass "
                                  "(cuts HBM bytes/step; cheap VPU recompute)")
+        parser.add_argument("--no_fused_pad", action="store_true",
+                            help="disable the border-strip pad+conv fusion and "
+                                 "materialize reflect/replicate pads (A/B switch)")
+        parser.add_argument("--no_split_conv", action="store_true",
+                            help="disable the channel-split Task input conv and "
+                                 "materialize the input concatenate (A/B switch)")
+        parser.add_argument("--no_onepass_stats", action="store_true",
+                            help="use two-pass mean/mean-sq InstanceNorm stats "
+                                 "instead of the one-pass variadic reduce (A/B switch)")
         self.initialized = True
         return parser
 

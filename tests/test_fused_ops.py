@@ -1,0 +1,135 @@
+"""Exactness of the HLO-profile-driven fusions (tools/hlo_bytes.py findings).
+
+1. Conv2d._pad_fused: zero-padded conv + thin border-correction strips must
+   equal the jnp.pad(reflect/edge) + conv(pad=0) reference path bit-for-bit in
+   f32 (same conv op on identical windows, only the pad materialization
+   differs). Covers pad 1/k 3 and pad 3/k 7, both modes, values AND grads.
+2. Sequential peephole: [ReflectionPad2d/ReplicationPad2d, Conv2d(pad=0)]
+   pairs route to the fused path; remat_tails composes with it.
+3. Conv2d.apply_split / Net.apply_parts: conv(concat(parts)) as a sum of
+   channel-sliced convs (different summation order -> tiny fp tolerance).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from desr_tpu.models import layers as L
+from desr_tpu.models.layers import (
+    Conv2d, Ctx, InitCfg, InstanceNorm2d, ReLU, ReflectionPad2d,
+    ReplicationPad2d, Sequential,
+)
+
+
+def _conv_params(key, conv, prefix="0."):
+    return conv.init(key, prefix, InitCfg(init_type="normal", init_gain=0.2))
+
+
+CASES = [(3, 1, "reflect"), (3, 1, "replicate"), (7, 3, "reflect"), (7, 3, "replicate")]
+
+
+@pytest.mark.parametrize("k,p,mode", CASES)
+def test_pad_fused_matches_padded_conv(k, p, mode):
+    conv = Conv2d(5, 4, k, padding=p, padding_mode=mode, bias=True)
+    params = _conv_params(jax.random.PRNGKey(0), conv)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 14, 17, 5), jnp.float32)
+
+    ref = conv.apply(params, x, "0.", Ctx(fused_pad=False))
+    fused = conv.apply(params, x, "0.", Ctx(fused_pad=True))
+    assert ref.shape == fused.shape
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+
+
+@pytest.mark.parametrize("k,p,mode", [(3, 1, "reflect"), (7, 3, "replicate")])
+def test_pad_fused_grads_match(k, p, mode):
+    conv = Conv2d(3, 2, k, padding=p, padding_mode=mode, bias=True)
+    params = _conv_params(jax.random.PRNGKey(2), conv)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 12, 13, 3), jnp.float32)
+
+    def loss(prm, x, fused):
+        out = conv.apply(prm, x, "0.", Ctx(fused_pad=fused))
+        return jnp.sum(out * jnp.cos(out))  # nontrivial cotangent
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, x, False)
+    g_fused = jax.grad(loss, argnums=(0, 1))(params, x, True)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+        a, b = np.asarray(a), np.asarray(b)
+        # same math, different conv shapes -> fp reassociation only
+        tol = 1e-6 * max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=tol)
+
+
+def test_sequential_peephole_and_remat_tails():
+    seq = Sequential([
+        ReflectionPad2d(1), Conv2d(4, 6, 3, padding=0), InstanceNorm2d(6), ReLU(),
+        ReplicationPad2d(1), Conv2d(6, 4, 3, padding=0),
+    ])
+    params = seq.init(jax.random.PRNGKey(4), "m.", InitCfg())
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 10, 11, 4), jnp.float32)
+
+    ref = seq.apply(params, x, "m.", Ctx(fused_pad=False))
+    fused = seq.apply(params, x, "m.", Ctx(fused_pad=True))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), rtol=1e-6, atol=1e-6)
+
+    remat = seq.apply(params, x, "m.", Ctx(fused_pad=True, remat_tails=True))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(remat), rtol=1e-6, atol=1e-6)
+
+
+def test_pad_fused_small_input_falls_back():
+    conv = Conv2d(2, 2, 7, padding=3, padding_mode="reflect")
+    params = _conv_params(jax.random.PRNGKey(6), conv)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 2), jnp.float32)
+    assert not conv.fused_pad_ok(x, 3)  # 8 < k + p = 10 -> jnp.pad path
+    out = conv.apply(params, x, "0.", Ctx(fused_pad=True))
+    assert out.shape == (1, 8, 8, 2)
+
+
+def test_instancenorm_one_pass_stats():
+    """One-pass variadic-reduce stats == two-pass mean/meansq, values + grads."""
+    norm = InstanceNorm2d(6)
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 9, 10, 6), jnp.float32) * 3 + 1
+
+    def two_pass(x):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        meansq = jnp.mean(jnp.square(x), axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        return (x - mean) * jax.lax.rsqrt(var + norm.eps)
+
+    got = norm.apply({}, x, "0.", Ctx())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(two_pass(x)),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_new(x):
+        return jnp.sum(jnp.sin(norm.apply({}, x, "0.", Ctx())))
+
+    def loss_old(x):
+        return jnp.sum(jnp.sin(two_pass(x)))
+
+    g_new, g_old = jax.grad(loss_new)(x), jax.grad(loss_old)(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_apply_split_matches_concat():
+    conv = Conv2d(12, 5, 4, stride=2, padding=1, bias=True)
+    params = _conv_params(jax.random.PRNGKey(8), conv)
+    key = jax.random.PRNGKey(9)
+    parts = [jax.random.normal(jax.random.fold_in(key, i), (2, 8, 8, c), jnp.float32)
+             for i, c in enumerate([4, 5, 2, 1])]
+    ref = conv.apply(params, jnp.concatenate(parts, axis=-1), "0.", Ctx())
+    split = conv.apply_split(params, parts, "0.", Ctx())
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(split), rtol=1e-5, atol=1e-5)
+
+
+def test_unet_apply_parts_matches_concat():
+    from desr_tpu.models.networks import define_G
+
+    net = define_G(10, 1, 4, "unet_128", norm="instance")
+    params = net.init(jax.random.PRNGKey(10))
+    key = jax.random.PRNGKey(11)
+    parts = [jax.random.normal(jax.random.fold_in(key, i), (1, 128, 128, c), jnp.float32)
+             for i, c in enumerate([4, 3, 2, 1])]
+    ref = net.apply(params, jnp.concatenate(parts, axis=-1), Ctx())
+    split = net.apply_parts(params, parts, Ctx())
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(split), rtol=1e-5, atol=2e-5)
