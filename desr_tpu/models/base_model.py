@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from desr_tpu import checkpoints as ckpt
 from desr_tpu.ops.optim import lr_schedule
-from desr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from desr_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                    shard_batch_steps)
 
 NON_TRAINABLE_MARKERS = ("running_mean", "running_var", "num_batches_tracked",
                          "weight_u", "weight_v")
@@ -33,6 +34,29 @@ def split_trainable(params: Dict[str, jnp.ndarray]):
     for k, v in params.items():
         (aux if k.endswith(NON_TRAINABLE_MARKERS) else train)[k] = v
     return train, aux
+
+
+class _CompileWithOptions:
+    """Defer to lowered.compile(compiler_options=...) on first call.
+
+    jax.jit has no compiler-options argument; explicit lower+compile is the
+    PJRT path that carries per-program XLA options (e.g.
+    xla_tpu_scoped_vmem_limit_kib) to the backend compiler.
+    """
+
+    def __init__(self, jitted, options):
+        self._jit = jitted
+        self._options = options
+        self._exe = None
+
+    def lower(self, *args, **kw):
+        return self._jit.lower(*args, **kw)
+
+    def __call__(self, *args):
+        if self._exe is None:
+            self._exe = self._jit.lower(*args).compile(
+                compiler_options=self._options)
+        return self._exe(*args)
 
 
 class BaseModel:
@@ -78,11 +102,65 @@ class BaseModel:
     def _post_setup(self):
         """Hook for models to build optimizer state after params exist."""
 
-    def jit_train(self, fn):
-        """jit a train step, donating (params, opt_state) unless --no_donate."""
-        if getattr(self.opt, "no_donate", False):
-            return jax.jit(fn)
-        return jax.jit(fn, donate_argnums=(0, 1))
+    def jit_train(self, fn, donate=(0, 1)):
+        """jit a train step, donating (params, opt_state) unless --no_donate.
+
+        With ``--compiler_option key=value`` (repeatable), the program is
+        lowered and compiled with those XLA options on first call — the only
+        channel that reaches a remote (tunneled) TPU compiler; XLA_FLAGS env
+        vars do not (PERF.md).
+        """
+        donate = () if getattr(self.opt, "no_donate", False) else donate
+        jitted = jax.jit(fn, donate_argnums=donate)
+        opts = getattr(self.opt, "compiler_option", None)
+        if opts:
+            kv = dict(o.split("=", 1) for o in opts)
+            return _CompileWithOptions(jitted, kv)
+        return jitted
+
+    def jit_train_scan(self, train_step):
+        """Multi-step train program: ``lax.scan`` of the single step.
+
+        One dispatch drives N optimizer steps entirely on device — the
+        host-side per-call dispatch latency (~32 ms on tunneled runtimes,
+        PERF.md) is paid once per N steps instead of once per step. The RNG
+        key threads through the scan carry exactly as through N sequential
+        calls, so the parameter trajectory is bit-identical to N single-step
+        calls (tests/test_multi_step.py). Returns the LAST step's metrics
+        (selected inside jit; per-step metric stacks would cost N eager
+        device reads per log line).
+        """
+        def train_scan(params, opt_state, batches, rng, lr):
+            def body(carry, batch):
+                p, o, r = carry
+                p, o, m, r = train_step(p, o, batch, r, lr)
+                return (p, o, r), m
+            (params, opt_state, rng), ms = jax.lax.scan(
+                body, (params, opt_state, rng), batches)
+            last = jax.tree_util.tree_map(lambda v: v[-1], ms)
+            return params, opt_state, last, rng
+
+        return self.jit_train(train_scan)
+
+    def supports_multi_step(self):
+        """Whether optimize_parameters_multi may be used (see trainer loop)."""
+        return getattr(self, "_train_scan", None) is not None
+
+    def optimize_parameters_multi(self, batches, iters):
+        """Run len(batches) optimizer steps in ONE device dispatch.
+
+        ``batches`` is a list of host batch dicts (as fed to set_input);
+        ``iters`` is the iteration counter AFTER this group. Semantically
+        identical to calling set_input+optimize_parameters per batch.
+        """
+        keys = getattr(self, "_input_keys", None)
+        if keys:
+            batches = [{k: b[k] for k in keys} for b in batches]
+        stacked = shard_batch_steps(batches, self.mesh)
+        self.params, self.opt_state_G, m, new_rng = self._train_scan(
+            self.params, self.opt_state_G, stacked, self.step_rng(), self.lr_scalar())
+        self.set_step_rng(new_rng)
+        self.metrics = m
 
     def lower_train_step(self):
         """Lower (without executing) the jitted train step on the current batch.

@@ -87,8 +87,18 @@ class I2DModel(BaseModel):
         def forward(params, batch, rng, train):
             ctx = Ctx(train=train, rng=rng, dtype=dtype, mesh=mesh,
                       **ctx_flags(opt))
-            feats_syn = image_f.apply(params["Image_f"], batch["A_i"].astype(dtype), ctx)
-            feats_real = image_f.apply(params["Image_f"], batch["B_i"].astype(dtype), ctx)
+            syn_i, real_i = batch["A_i"].astype(dtype), batch["B_i"].astype(dtype)
+            if not getattr(opt, "no_batched_branches", False):
+                # syn/real share weights; per-sample layers only -> ONE
+                # batch-2B pass is identical math with half the op overhead
+                # (see MainModel._forward_fn, PERF.md round 2)
+                bsz = syn_i.shape[0]
+                feats = image_f.apply(params["Image_f"],
+                                      jnp.concatenate([syn_i, real_i], 0), ctx)
+                pred = task.apply(params["Task"], feats, ctx).astype(jnp.float32)
+                return feats[:bsz], feats[bsz:], pred[:bsz], pred[bsz:]
+            feats_syn = image_f.apply(params["Image_f"], syn_i, ctx)
+            feats_real = image_f.apply(params["Image_f"], real_i, ctx)
             pred_syn = task.apply(params["Task"], feats_syn, ctx).astype(jnp.float32)
             pred_real = task.apply(params["Task"], feats_real, ctx).astype(jnp.float32)
             return feats_syn, feats_real, pred_syn, pred_real
@@ -142,6 +152,11 @@ class I2DModel(BaseModel):
             return m, vis
 
         self._train_step = self.jit_train(train_step)
+        if (self.isTrain and not opt.use_D
+                and getattr(opt, "steps_per_call", 1) > 1):
+            # with --use_D the D-step cadence is host-side (iters % fr); the
+            # scan path covers the G-only configuration
+            self._train_scan = self.jit_train_scan(train_step)
         self._eval_step = jax.jit(eval_step)
 
         if opt.use_D and self.isTrain:
@@ -181,11 +196,10 @@ class I2DModel(BaseModel):
 
     # -- reference-API entry points -------------------------------------------
 
+    _input_keys = ["A_i", "B_i", "A_d", "B_d"]
+
     def set_input(self, batch):
-        self._batch = self.shard({
-            "A_i": batch["A_i"], "B_i": batch["B_i"],
-            "A_d": batch["A_d"], "B_d": batch["B_d"],
-        })
+        self._batch = self.shard({k: batch[k] for k in self._input_keys})
         self._paths = {"A_paths": batch.get("A_paths"), "B_paths": batch.get("B_paths")}
 
     def optimize_parameters(self, iters, fr=700):

@@ -51,17 +51,22 @@ class Ctx:
     stats: Optional[Dict[str, Any]] = None
     mesh: Any = None  # jax.sharding.Mesh for explicit layout anchors
     remat_tails: bool = False  # recompute norm/act tails in backward (see Sequential)
-    fused_pad: bool = True  # border-strip pad+conv fusion (see Conv2d.apply_pad_fused)
+    fused_pad: bool = False  # border-strip pad+conv fusion (see Conv2d.apply_pad_fused)
     split_conv: bool = True  # channel-split first conv (see Conv2d.apply_split)
     onepass_stats: bool = True  # one-pass InstanceNorm stats (see _sum_and_sumsq_hw)
 
 
 def ctx_flags(opt):
-    """Ctx kwargs for the opt-gated compute-path choices (all default on;
-    the --no_* flags exist for A/B perf isolation and debugging)."""
+    """Ctx kwargs for the opt-gated compute-path choices.
+
+    Real-TPU A/B isolation at the SR shape (PERF.md round 2): split_conv and
+    onepass_stats are each ~+1% and default ON; fused_pad measured 9% SLOWER
+    than XLA's own pad lowering (the border-strip .at[].set patches cost more
+    than the avoided pad materialization) and is opt-in via --fused_pad.
+    """
     return dict(
         remat_tails=getattr(opt, "remat_tails", False),
-        fused_pad=not getattr(opt, "no_fused_pad", False),
+        fused_pad=getattr(opt, "fused_pad", False),
         split_conv=not getattr(opt, "no_split_conv", False),
         onepass_stats=not getattr(opt, "no_onepass_stats", False),
     )

@@ -163,10 +163,24 @@ class MainModel(BaseModel):
             syn2real = ga_ap(params["G_A_d"], batch["A_d"].astype(dtype),
                              syn_image)[..., 0].astype(jnp.float32)
 
-            feats_syn = i2df_ap(params["I2D_features"], syn_image)
-            feats_real = i2df_ap(params["I2D_features"], real_image)
-            syn_dbi = i2d_ap(params["Image2Depth"], feats_syn)[..., 0].astype(jnp.float32)
-            real_dbi = i2d_ap(params["Image2Depth"], feats_real)[..., 0].astype(jnp.float32)
+            # real/syn branches share weights and every layer is per-sample
+            # (InstanceNorm, no BatchNorm/dropout in these nets), so running
+            # both through ONE batch-2B call is mathematically identical to
+            # two calls — and halves the op count / layout transitions the
+            # hardware profile showed dominating overhead (PERF.md round 2)
+            batched = not getattr(opt, "no_batched_branches", False)
+            bsz = real_image.shape[0]
+            if batched:
+                both_images = jnp.concatenate([syn_image, real_image], axis=0)
+                feats_both = i2df_ap(params["I2D_features"], both_images)
+                dbi_both = i2d_ap(params["Image2Depth"], feats_both)[..., 0].astype(jnp.float32)
+                feats_syn, feats_real = feats_both[:bsz], feats_both[bsz:]
+                syn_dbi, real_dbi = dbi_both[:bsz], dbi_both[bsz:]
+            else:
+                feats_syn = i2df_ap(params["I2D_features"], syn_image)
+                feats_real = i2df_ap(params["I2D_features"], real_image)
+                syn_dbi = i2d_ap(params["Image2Depth"], feats_syn)[..., 0].astype(jnp.float32)
+                real_dbi = i2d_ap(params["Image2Depth"], feats_real)[..., 0].astype(jnp.float32)
 
             if opt.use_masked:
                 n = 60 if train else 11
@@ -184,12 +198,19 @@ class MainModel(BaseModel):
 
             syn_pair = jnp.stack([syn2real_masked, syn_dbi], axis=-1).astype(dtype)
             real_pair = jnp.stack([depth_masked, real_dbi], axis=-1).astype(dtype)
-            feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
-            feat_real_d = depthf_ap(params["Depth_f"], real_pair)
-            pred_syn = task_ap(params["Task"], feats_syn, feat_syn_d, syn_pair,
-                               syn_image)[..., 0].astype(jnp.float32)
-            pred_real = task_ap(params["Task"], feats_real, feat_real_d, real_pair,
-                                real_image)[..., 0].astype(jnp.float32)
+            if batched:
+                pair_both = jnp.concatenate([syn_pair, real_pair], axis=0)
+                feat_both_d = depthf_ap(params["Depth_f"], pair_both)
+                pred_both = task_ap(params["Task"], feats_both, feat_both_d,
+                                    pair_both, both_images)[..., 0].astype(jnp.float32)
+                pred_syn, pred_real = pred_both[:bsz], pred_both[bsz:]
+            else:
+                feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
+                feat_real_d = depthf_ap(params["Depth_f"], real_pair)
+                pred_syn = task_ap(params["Task"], feats_syn, feat_syn_d, syn_pair,
+                                   syn_image)[..., 0].astype(jnp.float32)
+                pred_real = task_ap(params["Task"], feats_real, feat_real_d, real_pair,
+                                    real_image)[..., 0].astype(jnp.float32)
 
             return dict(
                 syn_image=batch["A_i"], real_image=batch["B_i"],
@@ -343,6 +364,8 @@ class MainModel(BaseModel):
             return m, f
 
         self._train_step = self.jit_train(train_step)
+        if self.isTrain and getattr(self.opt, "steps_per_call", 1) > 1:
+            self._train_scan = self.jit_train_scan(train_step)
         self._eval_step = jax.jit(eval_step)
         g_train = {n: split_trainable(self.params[n])[0] for n in trainable_nets}
         self.opt_state_G = adam_init(g_train)
@@ -371,9 +394,10 @@ class MainModel(BaseModel):
         g_train = {n: self.params[n] for n in self._trainable_nets}
         return jax.jit(jax.grad(loss_fn))(g_train)
 
+    _input_keys = ["A_i", "B_i", "A_d", "B_d", "K_A", "K_B", "crop_A", "crop_B"]
+
     def set_input(self, batch):
-        keys = ["A_i", "B_i", "A_d", "B_d", "K_A", "K_B", "crop_A", "crop_B"]
-        self._batch = self.shard({k: batch[k] for k in keys})
+        self._batch = self.shard({k: batch[k] for k in self._input_keys})
         self._paths = {"A_paths": batch.get("A_paths"), "B_paths": batch.get("B_paths")}
 
     def optimize_parameters(self, iters, fr=1):

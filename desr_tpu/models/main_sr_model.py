@@ -102,8 +102,19 @@ class MainSRModel(MainModel):
                 feats_hr = resize_bicubic(feats.astype(jnp.float32), hr_hw).astype(dtype)
                 return feats_hr, dbi_hr
 
-            feats_real, real_dbi = guidance(real_image)
-            feats_syn, syn_dbi = guidance(syn_image)
+            # real/syn branches batched through shared-weight nets — identical
+            # math (per-sample norms, no dropout), half the op/layout overhead
+            # (see MainModel._forward_fn and PERF.md round 2)
+            batched = not getattr(opt, "no_batched_branches", False)
+            bsz = real_image.shape[0]
+            if batched:
+                feats_both, dbi_both = guidance(
+                    jnp.concatenate([syn_image, real_image], axis=0))
+                feats_syn, feats_real = feats_both[:bsz], feats_both[bsz:]
+                syn_dbi, real_dbi = dbi_both[:bsz], dbi_both[bsz:]
+            else:
+                feats_real, real_dbi = guidance(real_image)
+                feats_syn, syn_dbi = guidance(syn_image)
 
             if opt.use_masked:
                 n = 60 if train else 11
@@ -123,14 +134,22 @@ class MainSRModel(MainModel):
                 syn2real_masked = syn2real
 
             real_pair = jnp.stack([depth_masked, real_dbi], axis=-1).astype(dtype)
-            feat_real_d = depthf_ap(params["Depth_f"], real_pair)
-            pred_real_hr = task_ap(params["Task"], feats_real, feat_real_d,
-                                   real_pair, real_image)[..., 0].astype(jnp.float32)
-
             syn_pair = jnp.stack([syn2real_masked, syn_dbi], axis=-1).astype(dtype)
-            feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
-            pred_syn = task_ap(params["Task"], feats_syn, feat_syn_d,
-                               syn_pair, syn_image)[..., 0].astype(jnp.float32)
+            if batched:
+                pair_both = jnp.concatenate([syn_pair, real_pair], axis=0)
+                feat_both_d = depthf_ap(params["Depth_f"], pair_both)
+                pred_both = task_ap(
+                    params["Task"], feats_both, feat_both_d, pair_both,
+                    jnp.concatenate([syn_image, real_image], axis=0),
+                )[..., 0].astype(jnp.float32)
+                pred_syn, pred_real_hr = pred_both[:bsz], pred_both[bsz:]
+            else:
+                feat_real_d = depthf_ap(params["Depth_f"], real_pair)
+                pred_real_hr = task_ap(params["Task"], feats_real, feat_real_d,
+                                       real_pair, real_image)[..., 0].astype(jnp.float32)
+                feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
+                pred_syn = task_ap(params["Task"], feats_syn, feat_syn_d,
+                                   syn_pair, syn_image)[..., 0].astype(jnp.float32)
 
             pred_real = resize_bicubic_planar(pred_real_hr, lr_hw)
 

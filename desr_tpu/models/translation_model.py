@@ -385,6 +385,39 @@ class TranslationModel(BaseModel):
         self._d_step = self.jit_train(d_step) if disc_names else None
         self._eval_step = jax.jit(eval_step)
 
+        self._iter_step = None
+        if self.isTrain and getattr(opt, "fused_iter", False):
+            # ONE dispatch per training iteration: the num_iter_gen G-steps and
+            # num_iter_dis D-steps (reference translation_model.py:274-291 —
+            # several G steps per D step) run as lax.scans inside a single
+            # jitted program. Trajectory identical to the per-call path (the
+            # rng threads through the scan carries in the same order); saves
+            # (num_iter_gen + num_iter_dis - 1) dispatch latencies per iter.
+            n_g = max(1, opt.num_iter_gen)
+            n_d = opt.num_iter_dis if disc_names else 0
+
+            def iter_step(params, os_g, os_d, batch, rng, lr, weights):
+                def g_body(carry, _):
+                    p, o, r = carry
+                    p, o, m, r = g_step(p, o, batch, r, lr, weights)
+                    return (p, o, r), m
+
+                (params, os_g, rng), ms = jax.lax.scan(
+                    g_body, (params, os_g, rng), None, length=n_g)
+                m = jax.tree_util.tree_map(lambda v: v[-1], ms)
+                if n_d:
+                    def d_body(carry, _):
+                        p, o, r = carry
+                        p, o, md, r = d_step(p, o, batch, r, lr)
+                        return (p, o, r), md
+
+                    (params, os_d, rng), mds = jax.lax.scan(
+                        d_body, (params, os_d, rng), None, length=n_d)
+                    m.update(jax.tree_util.tree_map(lambda v: v[-1], mds))
+                return params, os_g, os_d, m, rng
+
+            self._iter_step = self.jit_train(iter_step, donate=(0, 1, 2))
+
         if self.isTrain:
             g_train = {n: split_trainable(self.params[n])[0] for n in ["G_A", "G_B"]}
             self.opt_state_G = adam_init(g_train)
@@ -418,6 +451,16 @@ class TranslationModel(BaseModel):
     def optimize_parameters(self, iters, fr=1):
         lr = self.lr_scalar()
         weights = self._weights()
+        if self._iter_step is not None:
+            os_d = getattr(self, "opt_state_D", None)
+            (self.params, self.opt_state_G, os_d,
+             m, new_rng) = self._iter_step(self.params, self.opt_state_G, os_d,
+                                           self._batch, self.step_rng(), lr, weights)
+            if self._d_step is not None:
+                self.opt_state_D = os_d
+            self.set_step_rng(new_rng)
+            self.metrics = dict(m)
+            return
         for _ in range(self.opt.num_iter_gen):
             self.params, self.opt_state_G, m, new_rng = self._g_step(
                 self.params, self.opt_state_G, self._batch, self.step_rng(), lr, weights)

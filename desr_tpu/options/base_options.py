@@ -74,6 +74,20 @@ class BaseOptions:
                                  "cooperate on single large frames")
         parser.add_argument("--num_devices", type=int, default=0,
                             help="limit the data mesh to the first N devices (0=all)")
+        parser.add_argument("--steps_per_call", type=int, default=1,
+                            help="optimizer steps per device dispatch: the "
+                                 "train step runs as a lax.scan over N stacked "
+                                 "batches, amortizing host dispatch latency "
+                                 "(trajectory identical to N single steps)")
+        parser.add_argument("--compiler_option", action="append", default=None,
+                            metavar="KEY=VALUE",
+                            help="per-program XLA compiler option for the train "
+                                 "steps (repeatable), e.g. "
+                                 "xla_tpu_scoped_vmem_limit_kib=65536")
+        parser.add_argument("--fused_iter", action="store_true",
+                            help="translation stage: run the whole "
+                                 "num_iter_gen x G + num_iter_dis x D "
+                                 "iteration as ONE jitted dispatch")
         parser.add_argument("--no_donate", action="store_true",
                             help="disable buffer donation in train steps "
                                  "(diagnostic; costs duplicate param buffers)")
@@ -91,9 +105,14 @@ class BaseOptions:
                             help="scoped remat: save only conv outputs, recompute "
                                  "norm/activation tails in the backward pass "
                                  "(cuts HBM bytes/step; cheap VPU recompute)")
-        parser.add_argument("--no_fused_pad", action="store_true",
-                            help="disable the border-strip pad+conv fusion and "
-                                 "materialize reflect/replicate pads (A/B switch)")
+        parser.add_argument("--fused_pad", action="store_true",
+                            help="enable the border-strip pad+conv fusion "
+                                 "(measured 9%% slower than XLA's pad lowering "
+                                 "at SR shape on v5e; kept as an A/B switch)")
+        parser.add_argument("--no_batched_branches", action="store_true",
+                            help="run the real/syn branches as separate net "
+                                 "calls instead of one batch-2B call "
+                                 "(A/B switch; identical math either way)")
         parser.add_argument("--no_split_conv", action="store_true",
                             help="disable the channel-split Task input conv and "
                                  "materialize the input concatenate (A/B switch)")

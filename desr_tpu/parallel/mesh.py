@@ -81,6 +81,34 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return {k: put(v) for k, v in batch.items()}
 
 
+def shard_batch_steps(batches, mesh: Mesh, axis_name: str = "data"):
+    """Stack N per-step batch dicts into [N, ...] arrays and device_put them.
+
+    Input to the multi-step ``lax.scan`` train path (BaseModel.jit_train_scan):
+    the leading axis is the scan (step) axis and stays unsharded; the per-step
+    batch axis (now axis 1) is sharded over ``data``; on a 2-D
+    ('data', 'spatial') mesh image-like arrays additionally shard H (axis 2).
+    """
+    spatial = "spatial" in mesh.axis_names
+    n_data = mesh.shape[axis_name]
+    n_sp = mesh.shape["spatial"] if spatial else 1
+    keys = batches[0].keys()
+    out = {}
+    for k in keys:
+        v0 = np.asarray(batches[0][k])
+        if not (np.issubdtype(v0.dtype, np.number) or v0.dtype == np.bool_):
+            continue  # path strings etc. are not scan inputs
+        x = np.stack([np.asarray(b[k]) for b in batches], axis=0)
+        spec = [None] * x.ndim
+        if x.ndim >= 2 and x.shape[1] % n_data == 0:
+            spec[1] = axis_name
+            if (spatial and x.ndim >= 4 and x.shape[2] >= 32
+                    and x.shape[2] % n_sp == 0):
+                spec[2] = "spatial"
+        out[k] = jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return out
+
+
 def replicate(tree, mesh: Mesh):
     rep = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

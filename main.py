@@ -49,8 +49,12 @@ def main():
     model = create_model(opt)
     dataset_cls = dataset_for_model(opt)
     # device_put_fn: host->device transfers dispatch inside the loader the
-    # moment a host batch is ready, overlapping the in-flight device step
-    dataset = (create_dataset(opt, dataset_cls, device_put_fn=model.shard)
+    # moment a host batch is ready, overlapping the in-flight device step.
+    # With --steps_per_call > 1 batches are instead stacked host-side into
+    # step groups (shard_batch_steps) and transferred once per group — the
+    # group transfer overlaps the previous group's device execution.
+    put_fn = model.shard if getattr(opt, "steps_per_call", 1) <= 1 else None
+    dataset = (create_dataset(opt, dataset_cls, device_put_fn=put_fn)
                if opt.do_train else None)
     test_dataset = (create_dataset(opt, dataset_cls, stage="test", device_put_fn=model.shard)
                     if opt.do_test else None)
@@ -71,18 +75,38 @@ def main():
 
         if opt.do_train:
             model._train()
+            # --steps_per_call N: run N optimizer steps per device dispatch
+            # (lax.scan inside one jitted program, base_model.jit_train_scan)
+            spc = max(1, getattr(opt, "steps_per_call", 1)) if model.supports_multi_step() else 1
+            group = []
+
+            def at_freq(freq):
+                d = (total_iters - opt.start_iter) % freq
+                return d == 0 if spc == 1 else d < opt.batch_size * spc
+
             iter_data_time = time.time()
             for i, data in enumerate(dataset):
                 iter_start_time = time.time()
                 t_data = iter_start_time - iter_data_time
-                total_iters += opt.batch_size
-                model.set_input(data)
-                model.optimize_parameters(total_iters, opt.update_ratio)
+                if spc > 1:
+                    group.append(data)
+                    if len(group) < spc:
+                        iter_data_time = time.time()
+                        continue
+                    total_iters += opt.batch_size * len(group)
+                    model.optimize_parameters_multi(group, total_iters)
+                    group = []
+                else:
+                    total_iters += opt.batch_size
+                    model.set_input(data)
+                    model.optimize_parameters(total_iters, opt.update_ratio)
 
-                if (total_iters - opt.start_iter) % opt.display_freq == 0:
+                if at_freq(opt.display_freq):
                     # image panels (reference main.py:76-81): wandb figures, or
                     # the HTML gallery when wandb is off. calculate() runs an
                     # extra eval forward for the visuals; restore train metrics.
+                    if spc > 1:
+                        model.set_input(data)  # multi path never staged _batch
                     train_metrics = model.metrics
                     model.calculate(stage="train")
                     visuals = model.get_current_visuals()
@@ -96,18 +120,23 @@ def main():
                     else:
                         visualizer.display_current_results(visuals, epoch)
 
-                if (total_iters - opt.start_iter) % opt.print_freq == 0:
+                if at_freq(opt.print_freq):
                     losses = model.get_current_losses()
-                    t_comp = (time.time() - iter_start_time) / opt.batch_size
+                    t_comp = (time.time() - iter_start_time) / (opt.batch_size * spc)
                     visualizer.print_current_losses(epoch, total_iters, losses, t_comp, t_data)
                     if wandb:
                         wandb.log(losses, step=total_iters)
 
-                if (total_iters - opt.start_iter) % (opt.save_latest_freq * opt.batch_size) == 0:
+                if at_freq(opt.save_latest_freq * opt.batch_size):
                     print("saving the latest model (epoch %d, total_iters %d)" % (epoch, total_iters))
                     suffix = "iter_%d" % total_iters if opt.save_by_iter else "latest"
                     model.save_networks(suffix)
                 iter_data_time = time.time()
+
+            if group:  # epoch tail shorter than --steps_per_call
+                total_iters += opt.batch_size * len(group)
+                model.optimize_parameters_multi(group, total_iters)
+                group = []
 
             if epoch % opt.save_epoch_freq == 0:
                 print("saving the model at the end of epoch %d, iters %d" % (epoch, total_iters))

@@ -69,3 +69,41 @@ def test_main_cli_trains_main_model(tmp_path, monkeypatch, capsys):
     assert os.path.exists(os.path.join(ckpt_dir, "loss_log.txt"))
     # options snapshot (reference contract base_options.py:109-115)
     assert os.path.exists(os.path.join(ckpt_dir, "train_opt.txt"))
+
+
+def test_main_cli_steps_per_call(tmp_path, monkeypatch, capsys):
+    """--steps_per_call: the grouped scan path drives a real CLI epoch.
+
+    3 batches with steps_per_call=2 exercises BOTH the full-group dispatch and
+    the epoch-tail partial group (main.py group flush)."""
+    root = str(tmp_path)
+    dirs, intr = _write_fixtures(root, n=6)
+    argv = [
+        "main.py",
+        "--model_type", "main", "--do_train",
+        "--image_and_depth", "--use_scannet",
+        "--use_image_for_trans", "--use_masked",
+        "--name", "cli_spc", "--checkpoints_dir", os.path.join(root, "ckpt"),
+        "--path_A", dirs["A_depth"], "--A_add_paths", dirs["A_img"],
+        "--path_B", dirs["B_depth"], "--B_add_paths", dirs["B_img"],
+        "--path_to_intr", intr,
+        "--batch_size", "2", "--compute_dtype", "float32",
+        "--steps_per_call", "2",
+        "--n_epochs", "1", "--n_epochs_decay", "0",
+        "--load_size_h", "160", "--load_size_w", "200",
+        "--crop_size_h", "64", "--crop_size_w", "64",
+        "--ImageDepthf_outf", "8", "--ImageDepthf_basef", "8",
+        "--Depthf_outf", "8", "--Depthf_basef", "8",
+        "--I2D_base", "8", "--Task_basef", "8",
+        "--save_epoch_freq", "1", "--print_freq", "2",
+        "--num_threads", "0",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    import main as main_mod
+
+    main_mod.main()
+    ckpt_dir = os.path.join(root, "ckpt", "cli_spc")
+    for net in ["Task"]:
+        assert os.path.exists(os.path.join(ckpt_dir, f"1_net_{net}.pth")), net
+    out = capsys.readouterr().out
+    assert "End of epoch 1" in out

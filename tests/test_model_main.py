@@ -68,6 +68,35 @@ def test_main_frozen_nets_unchanged(model):
             np.testing.assert_array_equal(np.asarray(v), before[k], err_msg=f"{net}.{k}")
 
 
+def test_batched_branches_match_sequential(model):
+    """--no_batched_branches A/B: one batch-2B pass == two per-branch passes.
+
+    Per-sample layers only (InstanceNorm, no dropout), so the fused real/syn
+    batch must reproduce the sequential outputs to fp32 compile noise."""
+    import jax
+
+    from desr_tpu.models.main_model import MainModel
+
+    seq = MainModel(make_opt(["--no_batched_branches"]))
+    seq.setup()
+    # identical weights (the shared fixture was trained by earlier tests),
+    # identical batch, eval mode (no holes rng)
+    seq.params = {n: dict(p) for n, p in model.params.items()}
+    batch = fake_batch(seed=7)
+    model.set_input(batch)
+    model.calculate(stage="test")
+    out_b = {k: np.asarray(v) for k, v in model.visuals.items()}
+    m_b = {k: float(v) for k, v in model.metrics.items()}
+    seq.set_input(batch)
+    seq.calculate(stage="test")
+    out_s = {k: np.asarray(v) for k, v in seq.visuals.items()}
+    for k in out_s:
+        np.testing.assert_allclose(out_b[k], out_s[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+    for k, v in seq.metrics.items():
+        assert m_b[k] == pytest.approx(float(v), rel=1e-3, abs=1e-6), k
+
+
 def test_main_eval_and_dump(model, tmp_path):
     model.opt.save_all = True
     model.opt.save_image_folder = str(tmp_path) + "/"
