@@ -53,6 +53,7 @@ class Ctx:
     remat_tails: bool = False  # recompute norm/act tails in backward (see Sequential)
     fused_pad: bool = False  # border-strip pad+conv fusion (see Conv2d.apply_pad_fused)
     split_conv: bool = True  # channel-split first conv (see Conv2d.apply_split)
+    tap_conv: bool = True  # tap-decomposed large-k small-C convs (see Conv2d._conv_taps)
     onepass_stats: bool = True  # one-pass InstanceNorm stats (see _sum_and_sumsq_hw)
 
 
@@ -69,6 +70,7 @@ def ctx_flags(opt):
         fused_pad=getattr(opt, "fused_pad", False),
         split_conv=not getattr(opt, "no_split_conv", False),
         onepass_stats=not getattr(opt, "no_onepass_stats", False),
+        tap_conv=not getattr(opt, "no_tap_conv", False),
     )
 
 
@@ -316,6 +318,67 @@ class Conv2d(Layer):
                 and p > 0 and x.ndim == 4
                 and x.shape[1] >= self.k + p and x.shape[2] >= self.k + p)
 
+    def tap_conv_ok(self, x, ctx):
+        """Tap-decomposition preconditions (see _conv_taps).
+
+        Worth it only for the MXU-pathological cases the hardware profile
+        exposed (PERF.md round 2): large-k stride-1 convs whose output or
+        input channel count leaves >=75% of the MXU's 128 lanes idle — the
+        7x7 stems (C_in 1-4) and 7x7 heads (C_out 1) ran at 0.8-2.4 TFLOP/s.
+        Skip small images: the win is at HR, and 49 extra ops per conv would
+        just bloat small programs."""
+        return (ctx.tap_conv and self.stride == 1 and self.dilation == 1
+                and self.k >= 5 and self.out_ch <= 8
+                and x.ndim == 4 and x.shape[1] * x.shape[2] >= 1 << 16)
+
+    def _conv_taps(self, x, w, bias):
+        """k*k stride-1 conv as 1x1 convs over tap-expanded channels.
+
+        A conv with C_out=1 (resnet/translation-decoder heads) maps to the
+        MXU with 1 of 128 output lanes busy; C_in<=4 stems waste the
+        contraction dim the same way. Decompose over the k*k taps:
+
+        - C_out small: y = 1x1 conv with weights [kk*O, I] (taps-major), then
+          out[...,o] = sum_t y[:, dy:dy+H, dx:dx+W, t*O+o] — the 1x1 conv is
+          a clean [M=BHW, K=I, N=kk*O] matmul (49x more lanes busy) and the
+          shift-sum is one loop fusion. f32 tap accumulation.
+        - C_in small: x1 = concat of the kk shifted input windows (channels
+          [t*I:(t+1)*I]), then ONE 1x1 conv [M=BHW, K=kk*I, N=O] — K grows
+          from 1-4 to 49-196.
+
+        x arrives already padded (reflect/edge/zero); output spatial is
+        H-k+1 x W-k+1. Same math as the direct conv up to tap summation
+        order. Measured: the 64->1 head dropped from 10.9 ms to sub-ms class.
+        """
+        k = self.k
+        O, I = self.out_ch, self.in_ch
+        Hp, Wp = x.shape[1], x.shape[2]
+        H, W = Hp - k + 1, Wp - k + 1
+        # [O, I, ky, kx] -> [ky*kx*O, I, 1, 1], taps-major
+        w1 = jnp.transpose(w, (2, 3, 0, 1)).reshape(k * k * O, I, 1, 1)
+        y = self._conv_1x1(x, w1)
+        acc = None
+        for t in range(k * k):
+            dy, dx = divmod(t, k)
+            part = y[:, dy:dy + H, dx:dx + W, t * O:(t + 1) * O].astype(jnp.float32)
+            acc = part if acc is None else acc + part
+        out = acc
+        # Two generalizations were tried on hardware and REVERTED (PERF.md):
+        # tap-expanded channel concat for C_in<=4 stems (k*k C-minor slices
+        # materialize with 128/C lane padding - 42x memory, OOM at I2D batch
+        # 12) and k-row 1xk decomposition for large-C heads (the k
+        # materialized per-tap accumulation terms cost 133 ms/step vs the
+        # 33 ms direct conv they replaced).
+        out = out.astype(x.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
+
+    def _conv_1x1(self, x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"))
+
     def apply(self, params, x, prefix, ctx):
         w = params[prefix + "weight"].astype(ctx.dtype)
         x = x.astype(ctx.dtype)
@@ -329,9 +392,14 @@ class Conv2d(Layer):
             conv_pad = ((0, 0), (0, 0))
         else:
             conv_pad = ((pad, pad), (pad, pad))
+        bias = params[prefix + "bias"].astype(ctx.dtype) if self.bias else None
+        if self.tap_conv_ok(x, ctx):
+            if conv_pad != ((0, 0), (0, 0)):
+                x = jnp.pad(x, ((0, 0), conv_pad[0], conv_pad[1], (0, 0)))
+            return self._conv_taps(x, w, bias)
         out = self._conv(x, w, conv_pad[0], conv_pad[1]).astype(ctx.dtype)
-        if self.bias:
-            out = out + params[prefix + "bias"].astype(ctx.dtype)
+        if bias is not None:
+            out = out + bias
         return out
 
     def apply_pad_fused(self, params, x, prefix, ctx, p, mode):
@@ -386,10 +454,21 @@ class Conv2d(Layer):
         xb = jnp.concatenate([x[:, H - (k - 1):], rows_hi(x)], axis=1)
         bottom = self._conv(xb, w, (0, 0), (p, p))[:, :, p:W - p]
 
-        out = out.at[:, :, :p].set(left)
-        out = out.at[:, :, W - p:].set(right)
-        out = out.at[:, :p, p:W - p].set(top)
-        out = out.at[:, H - p:, p:W - p].set(bottom)
+        # patch the ring in with lazy zero-pads + selects — these fuse into
+        # ONE pass over the output, unlike .at[].set whose dynamic-update-
+        # slice chains materialized intermediate copies (the first fused_pad
+        # attempt measured 9% slower than jnp.pad for exactly that reason)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, H, W, 1), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, H, W, 1), 1)
+        lpad = jnp.pad(left, ((0, 0), (0, 0), (0, W - p), (0, 0)))
+        rpad = jnp.pad(right, ((0, 0), (0, 0), (W - p, 0), (0, 0)))
+        tpad = jnp.pad(top, ((0, 0), (0, H - p), (p, p), (0, 0)))
+        bpad = jnp.pad(bottom, ((0, 0), (H - p, 0), (p, p), (0, 0)))
+        inner_col = (col >= p) & (col < W - p)
+        out = jnp.where(col < p, lpad, out)
+        out = jnp.where(col >= W - p, rpad, out)
+        out = jnp.where((row < p) & inner_col, tpad, out)
+        out = jnp.where((row >= H - p) & inner_col, bpad, out)
         out = out.astype(ctx.dtype)
         if self.bias:
             out = out + params[prefix + "bias"].astype(ctx.dtype)

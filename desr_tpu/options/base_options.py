@@ -116,6 +116,11 @@ class BaseOptions:
         parser.add_argument("--no_split_conv", action="store_true",
                             help="disable the channel-split Task input conv and "
                                  "materialize the input concatenate (A/B switch)")
+        parser.add_argument("--no_tap_conv", action="store_true",
+                            help="disable the tap-decomposed formulation of "
+                                 "large-kernel small-channel convs (7x7 heads/"
+                                 "stems) that keeps the MXU lanes busy "
+                                 "(A/B switch)")
         parser.add_argument("--no_onepass_stats", action="store_true",
                             help="use two-pass mean/mean-sq InstanceNorm stats "
                                  "instead of the one-pass variadic reduce (A/B switch)")

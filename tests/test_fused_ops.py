@@ -133,3 +133,54 @@ def test_unet_apply_parts_matches_concat():
     ref = net.apply(params, jnp.concatenate(parts, axis=-1), Ctx())
     split = net.apply_parts(params, parts, Ctx())
     np.testing.assert_allclose(np.asarray(ref), np.asarray(split), rtol=1e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# 4. Conv2d._conv_taps: tap-decomposed large-k small-channel convs. The
+#    hardware profile (PERF.md round 2) showed 7x7 C_out=1 heads at 0.8
+#    TFLOP/s (1 of 128 MXU lanes); the decomposition runs the same math as
+#    1x1 convs over tap-expanded channels (different tap summation order ->
+#    fp32 tolerance, f32 tap accumulation).
+
+@pytest.mark.parametrize("cin,cout", [(64, 1), (16, 2), (3, 8)])
+def test_tap_conv_matches_direct(cin, cout):
+    conv = Conv2d(cin, cout, 7, padding=3, padding_mode="reflect", bias=True)
+    params = _conv_params(jax.random.PRNGKey(0), conv)
+    # area >= 1<<16 so tap_conv_ok fires (the real trigger is HR images)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 136, 520, cin), jnp.float32)
+
+    ref = conv.apply(params, x, "0.", Ctx(tap_conv=False))
+    tap = conv.apply(params, x, "0.", Ctx(tap_conv=True))
+    assert ref.shape == tap.shape
+    np.testing.assert_allclose(np.asarray(tap), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradient parity through the decomposition
+    def loss(fn_ctx):
+        def f(p, y):
+            return jnp.sum(conv.apply(p, y, "0.", fn_ctx) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(Ctx(tap_conv=False)), argnums=(0, 1))(params, x)
+    g_tap = jax.grad(loss(Ctx(tap_conv=True)), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_tap)):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_tap_conv_zero_pad_and_gates():
+    conv = Conv2d(2, 4, 7, padding=3, bias=False)  # zeros padding_mode
+    params = _conv_params(jax.random.PRNGKey(2), conv)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 136, 520, 2), jnp.float32)
+    ref = conv.apply(params, x, "0.", Ctx(tap_conv=False))
+    tap = conv.apply(params, x, "0.", Ctx(tap_conv=True))
+    np.testing.assert_allclose(np.asarray(tap), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # small images, small kernels, and healthy output widths stay direct
+    small = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 64, 2), jnp.float32)
+    assert not conv.tap_conv_ok(small, Ctx(tap_conv=True))
+    assert not Conv2d(32, 64, 3, padding=1).tap_conv_ok(x, Ctx(tap_conv=True))
+    assert not Conv2d(32, 128, 7, padding=3).tap_conv_ok(x, Ctx(tap_conv=True))
+    assert not conv.tap_conv_ok(x, Ctx(tap_conv=False))
