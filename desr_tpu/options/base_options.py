@@ -116,6 +116,14 @@ class BaseOptions:
         parser.add_argument("--no_split_conv", action="store_true",
                             help="disable the channel-split Task input conv and "
                                  "materialize the input concatenate (A/B switch)")
+        parser.add_argument("--phase_convt", action="store_true",
+                            help="subpixel phase decomposition of stride-2 "
+                                 "transposed convs (measured 7%% slower than "
+                                 "XLA's lhs-dilation on v5e; A/B switch)")
+        parser.add_argument("--no_ring_pad", action="store_true",
+                            help="disable the additive ring-correction "
+                                 "formulation of reflect/replicate-pad(1) + "
+                                 "3x3 convs (A/B switch)")
         parser.add_argument("--no_tap_conv", action="store_true",
                             help="disable the tap-decomposed formulation of "
                                  "large-kernel small-channel convs (7x7 heads/"

@@ -184,3 +184,119 @@ def test_tap_conv_zero_pad_and_gates():
     assert not Conv2d(32, 64, 3, padding=1).tap_conv_ok(x, Ctx(tap_conv=True))
     assert not Conv2d(32, 128, 7, padding=3).tap_conv_ok(x, Ctx(tap_conv=True))
     assert not conv.tap_conv_ok(x, Ctx(tap_conv=False))
+
+
+# ---------------------------------------------------------------------------
+# 5. Conv2d.apply_ring: [pad(1), 3x3 conv] as zero-pad conv + exact additive
+#    ring corrections (line matmuls + corner de-dup). Same math as the
+#    padded conv up to one extra f32 add rounding on the ring.
+
+@pytest.mark.parametrize("mode,k,p", [("reflect", 3, 1), ("replicate", 3, 1),
+                                      ("reflect", 5, 2), ("replicate", 5, 2),
+                                      ("reflect", 7, 3), ("replicate", 7, 3)])
+def test_ring_pad_matches_padded_conv(mode, k, p):
+    conv = Conv2d(5, 16, k, padding=p, padding_mode=mode, bias=True)
+    params = _conv_params(jax.random.PRNGKey(0), conv)
+    # area >= 1<<14 so ring_pad_ok fires; odd-ish sizes to catch index slips
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 130, 140, 5), jnp.float32)
+
+    jmode = "reflect" if mode == "reflect" else "edge"
+    ref = conv.apply(params, x, "0.", Ctx(ring_pad=False))
+    # call apply_ring directly: the p>1 math is validated even though the
+    # hardware-pinned ROUTING only engages it at p == 1 (see ring_pad_ok)
+    ring = conv.apply_ring(params, x, "0.", Ctx(ring_pad=True), jmode)
+    assert ref.shape == ring.shape
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn_ctx):
+        def f(p, y):
+            return jnp.sum(conv.apply(p, y, "0.", fn_ctx) ** 2)
+        return f
+
+    def loss_ring(p_, y):
+        return jnp.sum(conv.apply_ring(p_, y, "0.", Ctx(), jmode) ** 2)
+
+    g_ref = jax.grad(loss(Ctx(ring_pad=False)), argnums=(0, 1))(params, x)
+    g_ring = jax.grad(loss_ring, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_ring)):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ring_pad_peephole_and_gates():
+    pad = ReflectionPad2d(1)
+    conv = Conv2d(3, 12, 3, padding=0, bias=True)
+    seq = Sequential([pad, conv])
+    params = seq.init(jax.random.PRNGKey(5), "m.", InitCfg("normal", 0.02))
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 128, 130, 3), jnp.float32)
+    ref = seq.apply(params, x, "m.", Ctx(ring_pad=False, fused_pad=False))
+    ring = seq.apply(params, x, "m.", Ctx(ring_pad=True))
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # composes with remat_tails
+    remat = seq.apply(params, x, "m.", Ctx(ring_pad=True, remat_tails=True))
+    np.testing.assert_allclose(np.asarray(remat), np.asarray(ring),
+                               rtol=1e-6, atol=1e-6)
+    # gates: small tensors, mismatched k/p, strided convs stay off the path
+    small = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 32, 3), jnp.float32)
+    assert not conv.ring_pad_ok(small, 1)
+    # p=3 ROUTING measured slower on hardware; math still covered above
+    assert not Conv2d(3, 16, 7, padding=0).ring_pad_ok(x, 3)
+    assert not Conv2d(3, 16, 7, padding=0).ring_pad_ok(x, 2)  # k != 2p+1
+    # small-C_out heads keep the materialized-pad + tap path (ring's lazy
+    # zero-pad tap accumulation measured slower on hardware)
+    assert not Conv2d(64, 1, 7, padding=0).ring_pad_ok(x, 3)
+    assert not Conv2d(3, 6, 3, padding=0, stride=2).ring_pad_ok(x, 1)
+
+
+# ---------------------------------------------------------------------------
+# 6. ConvTranspose2d phase decomposition: stride-2 convT as 4 parity
+#    sub-convs + interleave (same nonzero terms as the lhs-dilated form; the
+#    dilated zeros never exist). Covers the two convT shapes the nets use.
+
+@pytest.mark.parametrize("k,p,op", [(4, 1, 0), (3, 1, 1)])
+def test_convt_phase_matches_dilated(k, p, op):
+    from desr_tpu.models.layers import ConvTranspose2d
+
+    ct = ConvTranspose2d(6, 5, k, stride=2, padding=p, output_padding=op)
+    params = ct.init(jax.random.PRNGKey(0), "0.", InitCfg("normal", 0.2))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 66, 6), jnp.float32)
+
+    ref = ct.apply(params, x, "0.", Ctx(phase_convt=False))
+    ph = ct.apply(params, x, "0.", Ctx(phase_convt=True))
+    assert ref.shape == ph.shape
+    np.testing.assert_allclose(np.asarray(ph), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn_ctx):
+        def f(prm, y):
+            return jnp.sum(ct.apply(prm, y, "0.", fn_ctx) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(Ctx(phase_convt=False)), argnums=(0, 1))(params, x)
+    g_ph = jax.grad(loss(Ctx(phase_convt=True)), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_ph)):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_convt_phase_gates():
+    from desr_tpu.models.layers import ConvTranspose2d
+
+    small = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4), jnp.float32)
+    ct = ConvTranspose2d(4, 4, 4, stride=2, padding=1)
+    assert not ct.phase_ok(small, Ctx(phase_convt=True))  # under area gate
+    big = jax.random.normal(jax.random.PRNGKey(3), (1, 80, 80, 4), jnp.float32)
+    assert ct.phase_ok(big, Ctx(phase_convt=True))
+    assert not ct.phase_ok(big, Ctx(phase_convt=False))
+    # odd output length -> phases disagree -> fallback
+    ct3 = ConvTranspose2d(4, 4, 3, stride=2, padding=1, output_padding=0)
+    assert ct3._phase_geometry(80) is None
+    out = ct3.apply(ct3.init(jax.random.PRNGKey(4), "0.", InitCfg("normal", 0.2)),
+                    big, "0.", Ctx(phase_convt=True))
+    assert out.shape == (1, 159, 159, 4)

@@ -73,10 +73,10 @@ def test_main_lockstep_trajectory(monkeypatch):
     # its own exactness/equivalence test (test_fused_ops, test_model_main),
     # but their reordered f32 sums amplify to ~4e-4 through deep backprop,
     # which exceeds this oracle's atol floor without indicating wrong math.
-    for flag in ("no_batched_branches", "no_split_conv", "no_onepass_stats"):
+    for flag in ("no_batched_branches", "no_split_conv", "no_onepass_stats", "no_ring_pad"):
         setattr(ours.opt, flag, True)
     grads = ours._grads_for_oracle(batches[0])
-    for flag in ("no_batched_branches", "no_split_conv", "no_onepass_stats"):
+    for flag in ("no_batched_branches", "no_split_conv", "no_onepass_stats", "no_ring_pad"):
         setattr(ours.opt, flag, False)
     worst = (None, 0.0)
     for net, net_attr in [("Task", "netTask"), ("Depth_f", "netDepth_f")]:
