@@ -56,6 +56,7 @@ class Ctx:
     tap_conv: bool = True  # tap-decomposed large-k small-C convs (see Conv2d._conv_taps)
     ring_pad: bool = True  # additive ring corrections for pad(1)+3x3 conv (see Conv2d.apply_ring)
     phase_convt: bool = False  # subpixel phase decomposition of stride-2 convT (see ConvTranspose2d)
+    row_tap: bool = False  # k-row 1xk decomposition of large-k big-C convs (see _conv_row_taps)
     onepass_stats: bool = True  # one-pass InstanceNorm stats (see _sum_and_sumsq_hw)
 
 
@@ -75,6 +76,7 @@ def ctx_flags(opt):
         tap_conv=not getattr(opt, "no_tap_conv", False),
         ring_pad=not getattr(opt, "no_ring_pad", False),
         phase_convt=getattr(opt, "phase_convt", False),
+        row_tap=getattr(opt, "row_tap", False),
     )
 
 
@@ -374,7 +376,12 @@ class Conv2d(Layer):
         acc = None
         for t in range(k * k):
             dy, dx = divmod(t, k)
-            if pad == 0:
+            if pad == 0 and O == 1:
+                # planar accumulation: C=1 NHWC intermediates at HR pay a
+                # 128x lane-padding tax in TPU tiles; summing [B, H, W]
+                # slices keeps the whole chain unpadded
+                part = y[:, dy:dy + H, dx:dx + W, t].astype(jnp.float32)
+            elif pad == 0:
                 part = y[:, dy:dy + H, dx:dx + W, t * O:(t + 1) * O].astype(jnp.float32)
             else:
                 # out[i, j] += y[i + dy - pad, j + dx - pad]; clamp to y's
@@ -387,7 +394,7 @@ class Conv2d(Layer):
                                       (dh0, H - dh0 - (sh1 - sh0)),
                                       (dw0, W - dw0 - (sw1 - sw0)), (0, 0)))
             acc = part if acc is None else acc + part
-        out = acc
+        out = acc[..., None] if (pad == 0 and O == 1) else acc
         # Two generalizations were tried on hardware and REVERTED (PERF.md):
         # tap-expanded channel concat for C_in<=4 stems (k*k C-minor slices
         # materialize with 128/C lane padding - 42x memory, OOM at I2D batch
@@ -395,6 +402,44 @@ class Conv2d(Layer):
         # materialized per-tap accumulation terms cost 133 ms/step vs the
         # 33 ms direct conv they replaced).
         out = out.astype(x.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
+
+    def row_tap_ok(self, x, ctx):
+        """k H-shifted 1xk convs for large-k big-channel convs (the 7x7
+        32->128 Depth_f head measured 69 TFLOP/s as one spatial conv); each
+        row tap is a clean [K=k*I, N=O] contraction. Accumulation stays in
+        the compute dtype — the f32 variant materialized 7 f32 HR parts and
+        measured 133 ms/step (PERF.md). Opt-in (--row_tap) pending a
+        hardware win."""
+        return (ctx.row_tap and self.stride == 1 and self.dilation == 1
+                and self.k >= 5 and self.out_ch > 8 and self.in_ch > 4
+                and x.ndim == 4 and x.shape[1] * x.shape[2] >= 1 << 16)
+
+    def _conv_row_taps(self, x, w, bias, pad=0):
+        k = self.k
+        Hi = x.shape[1]
+        H = Hi - k + 1 + 2 * pad
+        acc = None
+        for dy in range(k):
+            wrow = w[:, :, dy:dy + 1, :]
+            if pad == 0:
+                part = jax.lax.conv_general_dilated(
+                    x[:, dy:dy + H], wrow, window_strides=(1, 1),
+                    padding=((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "OIHW", "NHWC"))
+            else:
+                sh0, sh1 = max(0, dy - pad), min(Hi, H + dy - pad)
+                part = jax.lax.conv_general_dilated(
+                    x[:, sh0:sh1], wrow, window_strides=(1, 1),
+                    padding=((0, 0), (pad, pad)),
+                    dimension_numbers=("NHWC", "OIHW", "NHWC"))
+                dh0 = sh0 - (dy - pad)
+                part = jnp.pad(part, ((0, 0), (dh0, H - dh0 - part.shape[1]),
+                                      (0, 0), (0, 0)))
+            acc = part if acc is None else acc + part
+        out = acc.astype(x.dtype)
         if bias is not None:
             out = out + bias
         return out
@@ -424,6 +469,9 @@ class Conv2d(Layer):
         if self.tap_conv_ok(x, ctx):
             assert conv_pad[0] == conv_pad[1] and conv_pad[0][0] == conv_pad[0][1]
             return self._conv_taps(x, w, bias, pad=conv_pad[0][0])
+        if self.row_tap_ok(x, ctx):
+            assert conv_pad[0] == conv_pad[1] and conv_pad[0][0] == conv_pad[0][1]
+            return self._conv_row_taps(x, w, bias, pad=conv_pad[0][0])
         out = self._conv(x, w, conv_pad[0], conv_pad[1]).astype(ctx.dtype)
         if bias is not None:
             out = out + bias

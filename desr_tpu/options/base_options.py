@@ -116,6 +116,11 @@ class BaseOptions:
         parser.add_argument("--no_split_conv", action="store_true",
                             help="disable the channel-split Task input conv and "
                                  "materialize the input concatenate (A/B switch)")
+        parser.add_argument("--row_tap", action="store_true",
+                            help="decompose large-kernel big-channel convs "
+                                 "into k row convs (measured 0.468 vs 0.407 "
+                                 "s/step on v5e even with dtype accumulation; "
+                                 "A/B switch)")
         parser.add_argument("--phase_convt", action="store_true",
                             help="subpixel phase decomposition of stride-2 "
                                  "transposed convs (measured 7%% slower than "

@@ -300,3 +300,24 @@ def test_convt_phase_gates():
     out = ct3.apply(ct3.init(jax.random.PRNGKey(4), "0.", InitCfg("normal", 0.2)),
                     big, "0.", Ctx(phase_convt=True))
     assert out.shape == (1, 159, 159, 4)
+
+
+def test_row_tap_matches_direct():
+    """--row_tap: k row convs == the direct conv (bf16-dtype accumulation;
+    f32 on CPU tests, so near-exact here)."""
+    conv = Conv2d(32, 64, 7, padding=3, padding_mode="reflect", bias=True)
+    params = _conv_params(jax.random.PRNGKey(20), conv)
+    x = jax.random.normal(jax.random.PRNGKey(21), (1, 136, 520, 32), jnp.float32)
+    ref = conv.apply(params, x, "0.", Ctx(row_tap=False))
+    rt = conv.apply(params, x, "0.", Ctx(row_tap=True))
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # zero-padding-mode virtual pad path
+    convz = Conv2d(16, 32, 5, padding=2, bias=False)
+    pz = _conv_params(jax.random.PRNGKey(22), convz)
+    xz = jax.random.normal(jax.random.PRNGKey(23), (1, 130, 520, 16), jnp.float32)
+    refz = convz.apply(pz, xz, "0.", Ctx(row_tap=False))
+    rtz = convz.apply(pz, xz, "0.", Ctx(row_tap=True))
+    np.testing.assert_allclose(np.asarray(rtz), np.asarray(refz),
+                               rtol=2e-5, atol=2e-5)
+    assert not conv.row_tap_ok(x, Ctx(row_tap=False))
