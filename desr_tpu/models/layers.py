@@ -80,6 +80,13 @@ def ctx_flags(opt):
     )
 
 
+def _spatial_mesh(ctx):
+    """True when the Ctx mesh shards the image H axis ('spatial' axis > 1)."""
+    mesh = getattr(ctx, "mesh", None)
+    return (mesh is not None and "spatial" in getattr(mesh, "axis_names", ())
+            and mesh.shape["spatial"] > 1)
+
+
 def spatial_anchor(x, ctx, min_rows_per_shard=16):
     """Anchor an NHWC activation's layout on a ('data', 'spatial') mesh.
 
@@ -338,6 +345,12 @@ class Conv2d(Layer):
         7x7 stems (C_in 1-4) and 7x7 heads (C_out 1) ran at 0.8-2.4 TFLOP/s.
         Skip small images: the win is at HR, and 49 extra ops per conv would
         just bloat small programs."""
+        if _spatial_mesh(ctx):
+            # under H-axis spatial sharding, GSPMD partitions each of the
+            # k*k shifted tap windows with its own halo exchange — compile
+            # time explodes (the 8-device virtual-CPU dryrun went from ~4 min
+            # to >30 min) and the partitioned code is shift-bound anyway
+            return False
         return (ctx.tap_conv and self.stride == 1 and self.dilation == 1
                 and self.k >= 5 and self.out_ch <= 8
                 and x.ndim == 4 and x.shape[1] * x.shape[2] >= 1 << 16)

@@ -15,9 +15,10 @@ def test_remat_tails_matches_default():
 
     batch = fake_batch()
 
-    base = I2DModel(make_opt())
+    base = I2DModel(make_opt(["--no_remat_tails"]))  # remat is the DEFAULT now
     base.setup()
     rt = I2DModel(make_opt(["--remat_tails"]))
+    assert not base.opt.remat_tails and rt.opt.remat_tails
     rt.setup()  # same seed -> identical init
 
     # identical eval losses
