@@ -79,6 +79,12 @@ class BaseModel:
         self.lr = getattr(opt, "lr", 2e-4)
         self._batch = None
         self._rng = jax.random.PRNGKey(getattr(opt, "seed", 0))
+        if getattr(opt, "remat_tails", None) is None:
+            # per-stage hardware A/B default (see --remat_tails help);
+            # models override _default_remat_tails
+            opt.remat_tails = self._default_remat_tails
+
+    _default_remat_tails = True
 
     # -- lifecycle ---------------------------------------------------------
 

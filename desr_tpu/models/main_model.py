@@ -56,6 +56,11 @@ def _maybe_remat(enabled):
 
 
 class MainModel(BaseModel):
+    # tail remat measured -7% at the main stage's batch-6 384x512 shape
+    # (21.2 vs 22.8 pairs/s on v5e) while every other stage gains — see
+    # --remat_tails help; MainSRModel flips this back to True
+    _default_remat_tails = False
+
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
         # reference main_model.py:79-87

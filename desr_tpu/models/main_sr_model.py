@@ -46,6 +46,8 @@ from desr_tpu.ops.resize import (
 
 
 class MainSRModel(MainModel):
+    _default_remat_tails = True  # +10% at the SR shape (see --remat_tails help)
+
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
         return MainModel.modify_commandline_options(parser, is_train)

@@ -102,12 +102,13 @@ class BaseOptions:
                                  "(trade ~30%% recompute for activation HBM; needed "
                                  "for full-resolution SR fine-tune batches)")
         parser.add_argument("--remat_tails", dest="remat_tails",
-                            action="store_true", default=True,
+                            action="store_true", default=None,
                             help="scoped remat: save only conv outputs, recompute "
-                                 "norm/activation tails in the backward pass. "
-                                 "Default ON: with the round-2 compute paths it "
-                                 "measured 0.367 vs 0.407 s/step on the SR step "
-                                 "(identical math - jax.checkpoint)")
+                                 "norm/activation tails in the backward pass "
+                                 "(identical math - jax.checkpoint). Default is "
+                                 "per-stage from hardware A/B: ON for SR (+10%%), "
+                                 "I2D (+4%%) and translation (+4%%), OFF for the "
+                                 "main stage (-7%% there)")
         parser.add_argument("--no_remat_tails", dest="remat_tails",
                             action="store_false",
                             help="disable the scoped tail remat (A/B switch)")
