@@ -33,7 +33,12 @@ def load_reference_package(module_name):
     except ImportError:
         pytest.skip("torch not available")
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never prepend: the reference tree has top-level main.py /
+        # data / options modules that would otherwise shadow ours for any
+        # test that runs after an oracle test in the same process (caught:
+        # `import main` in test_cli_integration resolved to the REFERENCE
+        # main.py when oracle tests ran first)
+        sys.path.append(REFERENCE_ROOT)
     try:
         return importlib.import_module(module_name)
     except ImportError as e:  # e.g. a reference dep missing in this env

@@ -1,10 +1,27 @@
 """End-to-end CLI integration: main.py train loop over fixture data."""
 
+import importlib.util
 import os
 import sys
 
 import numpy as np
 import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _import_repo_main():
+    """Import THIS repo's main.py by path — a bare `import main` can resolve
+    to the reference's main.py if an oracle test put /root/reference on
+    sys.path earlier in the process."""
+    if "main" in sys.modules and getattr(sys.modules["main"], "__file__", "") == \
+            os.path.join(REPO_ROOT, "main.py"):
+        return sys.modules["main"]
+    spec = importlib.util.spec_from_file_location("main", os.path.join(REPO_ROOT, "main.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["main"] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _write_fixtures(root, n=4, hw=(160, 200)):
@@ -57,7 +74,7 @@ def test_main_cli_trains_main_model(tmp_path, monkeypatch, capsys):
         "--num_threads", "1",
     ]
     monkeypatch.setattr(sys, "argv", argv)
-    import main as main_mod
+    main_mod = _import_repo_main()
 
     main_mod.main()
     # per-epoch + latest checkpoints written, one per net
@@ -99,7 +116,7 @@ def test_main_cli_steps_per_call(tmp_path, monkeypatch, capsys):
         "--num_threads", "0",
     ]
     monkeypatch.setattr(sys, "argv", argv)
-    import main as main_mod
+    main_mod = _import_repo_main()
 
     main_mod.main()
     ckpt_dir = os.path.join(root, "ckpt", "cli_spc")

@@ -76,7 +76,7 @@ def main_flags(b, h, w):
 
 def time_reference(opt, b, h, w, steps):
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)  # append: never shadow repo modules
     from models.main_model import MainModel as RefMainModel  # noqa: the reference package
 
     ropt = copy.deepcopy(opt)
