@@ -83,8 +83,14 @@ class BaseModel:
             # per-stage hardware A/B default (see --remat_tails help);
             # models override _default_remat_tails
             opt.remat_tails = self._default_remat_tails
+        if getattr(opt, "pallas_conv", None) is None:
+            # per-stage hardware A/B default (see --pallas_conv help);
+            # models override _default_pallas_conv
+            opt.pallas_conv = (self._default_pallas_conv
+                               and self.mesh.size == 1)
 
     _default_remat_tails = True
+    _default_pallas_conv = False
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -58,6 +58,7 @@ class Ctx:
     phase_convt: bool = False  # subpixel phase decomposition of stride-2 convT (see ConvTranspose2d)
     row_tap: bool = False  # k-row 1xk decomposition of large-k big-C convs (see _conv_row_taps)
     onepass_stats: bool = True  # one-pass InstanceNorm stats (see _sum_and_sumsq_hw)
+    pallas_conv: bool = False  # hand-tiled pallas 3x3 ring-base conv kernel
 
 
 def ctx_flags(opt):
@@ -77,6 +78,7 @@ def ctx_flags(opt):
         ring_pad=not getattr(opt, "no_ring_pad", False),
         phase_convt=getattr(opt, "phase_convt", False),
         row_tap=getattr(opt, "row_tap", False),
+        pallas_conv=bool(getattr(opt, "pallas_conv", False)),
     )
 
 
@@ -490,6 +492,23 @@ class Conv2d(Layer):
             out = out + bias
         return out
 
+    def pallas_ok(self, x, ctx, pad):
+        """Route this conv through the pallas im2col kernel?
+
+        Only when the flag is on, the mesh is single-device (pallas_call has
+        no GSPMD partitioning rule, so under a >1-device mesh it would force
+        replication), and the kernel has a VMEM tiling for the shape.
+        """
+        if not ctx.pallas_conv or self.stride != 1 or self.dilation != 1:
+            return False
+        mesh = getattr(ctx, "mesh", None)
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
+            return False
+        from desr_tpu.ops.pallas_conv import conv2d_pallas_supported
+
+        return conv2d_pallas_supported(tuple(x.shape), self.k, self.out_ch,
+                                       pad=pad, dtype_bytes=x.dtype.itemsize)
+
     def ring_pad_ok(self, x, p):
         """apply_ring preconditions: the 3x3/pad-1 stride-1 'same' conv —
         the resnet-block shape that accounts for most pad traffic.
@@ -543,6 +562,10 @@ class Conv2d(Layer):
         # the tap decomposition (their direct conv runs at 1/128 MXU lanes)
         if self.tap_conv_ok(x, ctx):
             out = self._conv_taps(x, w, None, pad=p).astype(jnp.float32)
+        elif self.pallas_ok(x, ctx, p):
+            from desr_tpu.ops.pallas_conv import conv2d_pallas
+
+            out = conv2d_pallas(x, w, p).astype(jnp.float32)
         else:
             out = self._conv(x, w, (p, p), (p, p)).astype(jnp.float32)
 

@@ -1,0 +1,265 @@
+"""Pallas TPU convolution kernels for the hot stride-1 convs.
+
+Motivation (PERF.md round-2 profile, SR step at 0.407 s): XLA's conv fusions
+run at ~24-70% MXU on this program's shapes and are surrounded by ~124 ms/step
+of layout-change copies. Microbenchmarks (tools/bench_pallas_conv.py) show a
+hand-tiled im2col kernel beats XLA's lowering on the 128-channel 3x3 resnet
+convs (XLA 24 TF/s -> pallas 31 TF/s) while XLA wins on the 256-channel
+translator blocks (52 TF/s) — so routing is per-shape and hardware-measured,
+never assumed.
+
+``conv2d_pallas``: stride-1 NHWC convolution with OIHW weights and a static
+symmetric VIRTUAL zero pad p in {0..3}:
+
+- The grid walks (batch, H-row-bands). Each step DMAs one full-width
+  (R + k - 1)-row input band HBM->VMEM (H is the untiled memref dim; W/C
+  slices would need (8,128)-tile alignment, so W is never sliced in HBM).
+- Zero padding is virtual: the band buffer is zeroed, the DMA lands at a
+  row/col offset, and boundary bands clamp their row ranges — nothing is
+  materialized in HBM. Reflect/edge semantics stay with the callers: the
+  ring-correction path (layers.Conv2d.apply_ring) already decomposes
+  reflect-pad convs into a zero-pad conv + exact additive border terms, and
+  the stems keep their materialized reflect pads (hardware-pinned, PERF.md).
+- The W axis is swept in chunks inside the kernel; each chunk contracts
+  groups of ``g = max(1, 128 // C_in)`` horizontally-adjacent taps per MXU
+  matmul so the contraction dim is >= min(128, k*C_in). For C_in < 128 the
+  CALLER pre-expands taps into lanes (``_expand_taps``: concat of g W-shifted
+  slices — one XLA pass that fuses with the producing pad, and small-C HBM
+  arrays are lane-padded to 128 by XLA anyway, so the expanded bytes are the
+  bytes the DMA would have moved regardless). This is the restructure XLA's
+  space-to-batch lowering lacks for small-C_in kernels like the 7x7 32->128
+  Depth_f head (31 ms at 35% MXU); Mosaic cannot DMA sub-128-lane extents,
+  which rules out in-kernel expansion.
+
+f32 accumulation, in/out in the compute dtype. Backward stays on XLA
+(custom_vjp): dx/dw of a conv are convs, and the kernel's biggest wins are on
+FROZEN nets (the stage-2 translator runs forward-only every step).
+
+Semantics cross-checked against jax.lax.conv_general_dilated in
+tests/test_pallas_conv.py (interpret mode on CPU, real kernels on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_VMEM_BUDGET = 11 * 1024 * 1024
+_XOFF = 8  # band-buffer column where real col 0 lands (8-aligned DMA dst)
+
+
+def _divisors(n, lo, hi):
+    return [t for t in range(lo, min(n, hi) + 1) if n % t == 0]
+
+
+def _plan(x_shape, k, c_out, pad, dtype_bytes=2):
+    """Pick (R rows/grid-step, WC compute-chunk cols) under the VMEM budget.
+
+    Returns None when the shape has no legal/profitable tiling and the caller
+    must fall back to the XLA conv.
+    """
+    b, h, w, c = x_shape
+    ho, wo = h - k + 1 + 2 * pad, w - k + 1 + 2 * pad
+    if ho < 16 or wo < 128:
+        return None
+    if c < 16:
+        return None  # tap expansion can't reach a useful contraction dim
+    gsize = min(max(1, 128 // c), k)
+    if gsize > 1:
+        if pad:
+            return None  # caller-side tap expansion needs a pre-padded input
+        kp = -(-k // gsize) * gsize
+        w_eff = _align8(wo + kp - gsize)  # width of the expanded array
+    else:
+        if w % 8 != 0:
+            return None  # Mosaic DMA: logical W extent must be 8-aligned
+        w_eff = w
+    best = None
+    c_eff = gsize * c
+    c_lane = max(c_eff, 128)  # VMEM lane padding of the band buffer
+    wb = _XOFF + w_eff + 8
+    wbytes = k * k * c * c_out * dtype_bytes
+    for r in _divisors(ho, 8, 64):
+        if r + k - 1 > h or (pad and ho // r < 2):
+            continue  # band exceeds the image / boundary branches need nh>=2
+        xbytes = (r + k - 1) * wb * c_lane * dtype_bytes
+        outbytes = 2 * r * wo * max(c_out, 128) * dtype_bytes
+        for wc in (128, 256, 384, 512, 640):
+            if wc > wo:
+                break
+            accbytes = r * wc * c_out * 4
+            if xbytes + accbytes + outbytes + wbytes > _VMEM_BUDGET:
+                continue
+            key = (r * wc, wc)
+            if best is None or key > best[0]:
+                best = (key, r, wc)
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def conv2d_pallas_supported(x_shape, k, c_out, pad=0, dtype_bytes=2):
+    """Whether conv2d_pallas has a tiling for this config."""
+    if not _HAS_PALLAS or pad not in (0, 1, 2, 3) or (pad and _XOFF < pad):
+        return False
+    if x_shape[0] * ((x_shape[1] - k + 1 + 2 * pad)) < 2 * 8:
+        return False
+    return _plan(x_shape, k, c_out, pad, dtype_bytes) is not None
+
+
+def _conv_kernel(x_hbm, w_ref, out_ref, xbuf, sem, *, k, R, WC, C, O, WO,
+                 W, H, pad, gsize, kp):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nh = pl.num_programs(1)
+    band = R + k - 1
+
+    xbuf[:] = jnp.zeros_like(xbuf)
+
+    # band row r holds virtually-padded row i*R + r; clamp boundary bands
+    def dma(src_row, dst_row, rows):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(src_row, rows), :, :],
+            xbuf.at[pl.ds(dst_row, rows), pl.ds(_XOFF, W), :], sem)
+        cp.start()
+        cp.wait()
+
+    if pad == 0:
+        dma(i * R, 0, band)
+    else:
+        @pl.when(i == 0)
+        def _():
+            dma(0, pad, band - pad)
+
+        @pl.when(i == nh - 1)
+        def _():
+            dma(i * R - pad, 0, band - pad)
+
+        @pl.when(jnp.logical_and(i > 0, i < nh - 1))
+        def _():
+            dma(i * R - pad, 0, band)
+
+    x = xbuf[:]
+    base = _XOFF - pad
+    for j0 in range(0, WO, WC):  # static W sweep (ragged tail chunk allowed)
+        wj = min(WC, WO - j0)
+        acc = jnp.zeros((R * wj, O), jnp.float32)
+        for dy in range(k):
+            for g0 in range(0, kp, gsize):
+                # pre-expanded inputs (gsize > 1): cell w holds taps
+                # w..w+gsize-1 in lanes, so group g0 reads a W-shift of g0
+                # cells; plain inputs read single taps. Same indexing.
+                w0 = base + j0 + g0
+                xm = x[dy:dy + R, w0:w0 + wj, :]
+                xm = xm.reshape(R * wj, gsize * C)
+                wm = w_ref[dy, g0 * C:(g0 + gsize) * C, :]
+                acc = acc + jnp.dot(xm, wm, preferred_element_type=jnp.float32)
+        out_ref[0, :, j0:j0 + wj, :] = (
+            acc.reshape(R, wj, O).astype(out_ref.dtype))
+
+
+def _align8(n):
+    return -(-n // 8) * 8
+
+
+def _expand_taps(x, gsize, we):
+    """Lane-expand horizontal taps: xe[b, h, w, t*C+c] = x[b, h, w+t, c].
+
+    One XLA pass (concat of shifted slices, zero-extended on the right so
+    cells whose extra taps run off the image exist but only ever multiply
+    zero-padded weight rows). Output width is 8-aligned for the DMA.
+    """
+    b, h, w, c = x.shape
+    need = we + gsize - 1  # rightmost source column index + 1
+    if need > w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, need - w), (0, 0)))
+    return jnp.concatenate([x[:, :, t:t + we, :] for t in range(gsize)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pad", "interpret"))
+def _conv_pallas_impl(x, wmat, k, pad=0, interpret=False):
+    b, h, w, c = x.shape
+    o = wmat.shape[-1]
+    ho, wo = h - k + 1 + 2 * pad, w - k + 1 + 2 * pad
+    plan = _plan(x.shape, k, o, pad, x.dtype.itemsize)
+    R, WC = plan
+    gsize = min(max(1, 128 // c), k)
+    kp = -(-k // gsize) * gsize  # taps zero-padded to a multiple of gsize
+    if kp > k:
+        pad_w = jnp.zeros((k, (kp - k) * c, o), wmat.dtype)
+        wmat = jnp.concatenate([wmat, pad_w], axis=1)
+    if gsize > 1:
+        x = _expand_taps(x, gsize, _align8(wo + kp - gsize))
+
+    w_eff, c_eff = x.shape[2], x.shape[3]
+    kern = functools.partial(_conv_kernel, k=k, R=R, WC=WC, C=c, O=o, WO=wo,
+                             W=w_eff, H=h, pad=pad, gsize=gsize, kp=kp)
+    return pl.pallas_call(
+        kern,
+        grid=(b, ho // R),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k, kp * c, o), lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, wo, o), lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, o), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + k - 1, _XOFF + w_eff + 8, c_eff), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, wmat)
+
+
+def _wmat(w_oihw, dtype):
+    """(O, I, k, k) torch-layout weights -> (k, k*I, O) tap-major matrix."""
+    o, i, kh, kw = w_oihw.shape
+    return jnp.transpose(w_oihw, (2, 3, 1, 0)).reshape(kh, kw * i, o).astype(dtype)
+
+
+def _conv_ref(x, w_oihw, pad=0):
+    return jax.lax.conv_general_dilated(
+        x, w_oihw.astype(x.dtype), window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_pallas(x, w_oihw, pad=0, interpret=None):
+    """Stride-1 conv, NHWC x, OIHW w, virtual zero pad; pallas forward.
+
+    Gradient falls back to XLA's conv transforms (dx: full-conv with the
+    flipped kernel; dw: activation/cotangent correlation) — the kernel's
+    primary targets are frozen-net forwards.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _conv_pallas_impl(x, _wmat(w_oihw, x.dtype), w_oihw.shape[-1],
+                             pad=pad, interpret=interpret)
+
+
+def _conv_fwd(x, w_oihw, pad, interpret):
+    return conv2d_pallas(x, w_oihw, pad, interpret), (x, w_oihw)
+
+
+def _conv_bwd(pad, interpret, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda xx, ww: _conv_ref(xx, ww, pad), x, w)
+    dx, dw = vjp(g)
+    return dx, dw.astype(w.dtype)
+
+
+conv2d_pallas.defvjp(_conv_fwd, _conv_bwd)

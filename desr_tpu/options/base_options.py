@@ -112,6 +112,18 @@ class BaseOptions:
         parser.add_argument("--no_remat_tails", dest="remat_tails",
                             action="store_false",
                             help="disable the scoped tail remat (A/B switch)")
+        parser.add_argument("--pallas_conv", dest="pallas_conv",
+                            action="store_true", default=None,
+                            help="route the 3x3 ring-base convs through the "
+                                 "hand-tiled pallas im2col kernel "
+                                 "(ops/pallas_conv.py). Microbenched 1.1-1.3x "
+                                 "vs XLA's lowering on the 128/256-ch resnet "
+                                 "block shapes on v5e; single-device meshes "
+                                 "only (no SPMD partitioning rule). Default "
+                                 "per-stage from hardware A/B")
+        parser.add_argument("--no_pallas_conv", dest="pallas_conv",
+                            action="store_false",
+                            help="disable the pallas conv routing (A/B switch)")
         parser.add_argument("--fused_pad", action="store_true",
                             help="enable the border-strip pad+conv fusion "
                                  "(measured 9%% slower than XLA's pad lowering "

@@ -1,0 +1,114 @@
+"""Per-stage step-time A/B driver (real chip).
+
+Runs one stage's full train step at its README configuration with extra flags
+passed through, and prints steady-state s/step + pairs/sec/chip. This is the
+hardware-isolation harness behind every default flip (PERF.md methodology:
+profile ranks candidates, but only a measured step-level A/B changes a
+default).
+
+    python tools/ab_step.py sr                      # baseline
+    python tools/ab_step.py sr --pallas_conv        # candidate
+    python tools/ab_step.py translation --steps 6   # slower stages: fewer reps
+
+Synthetic batches (same generators as bench.py / the model tests); timing via
+host transfer of the loss (axon's block_until_ready is unreliable), after a
+>=12-step runtime warmup (PERF.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGE_ARGV = {
+    "sr": ["--model_type", "main", "--SR", "--batch_size", "1",
+           "--use_image_for_trans", "--use_masked", "--norm_loss",
+           "--use_smooth_loss", "--w_syn_norm", "0.05",
+           "--crop_size_h", "512", "--crop_size_w", "640", "--lr", "2e-5"],
+    "main": ["--model_type", "main", "--batch_size", "6",
+             "--use_image_for_trans", "--use_masked", "--norm_loss",
+             "--use_smooth_loss", "--w_syn_norm", "0.05",
+             "--crop_size_h", "384", "--crop_size_w", "512"],
+    "i2d": ["--model_type", "I2D", "--batch_size", "12", "--norm_loss",
+            "--crop_size_h", "384", "--crop_size_w", "512"],
+    "translation": ["--model_type", "translation", "--batch_size", "6",
+                    "--crop_size_h", "256", "--crop_size_w", "256"],
+}
+
+
+def make_batch(stage, b, h, w):
+    rng = np.random.default_rng(0)
+    if stage == "sr":
+        h, w = h * 2, w * 2
+    da = rng.uniform(-0.5, 1, (b, h, w, 1)).astype(np.float32)
+    db = rng.uniform(-0.5, 1, (b, h, w, 1)).astype(np.float32)
+    db[db < -0.3] = -1.0
+    ai = rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32)
+    bi = rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32)
+    if stage == "translation":
+        return {"A_depth": da, "A_img": ai, "B_depth": db, "B_img": bi,
+                "A_name": ["a"] * b, "B_name": ["b"] * b}
+    batch = {"A_i": ai, "B_i": bi, "A_d": da, "B_d": db,
+             "A_paths": ["a.png"] * b, "B_paths": ["b.png"] * b}
+    if stage in ("sr", "main"):
+        K = np.tile(np.array([[[1154.0, 0, w // 2], [0, 1154, h // 2],
+                               [0, 0, 1]]], np.float32), (b, 1, 1))
+        crop_a = np.tile(np.array([[0, h, 0, w]], np.float32), (b, 1))
+        ch, cw = (h // 2, w // 2) if stage == "sr" else (h, w)
+        crop_b = np.tile(np.array([[0, ch, 0, cw]], np.float32), (b, 1))
+        batch.update(K_A=K, K_B=K.copy(), crop_A=crop_a, crop_B=crop_b)
+    return batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", choices=sorted(STAGE_ARGV))
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=12)
+    args, extra = ap.parse_known_args()
+
+    import jax
+
+    from desr_tpu.models import create_model
+    from desr_tpu.options.train_options import TrainOptions
+
+    argv = STAGE_ARGV[args.stage] + [
+        "--name", f"ab_{args.stage}", "--checkpoints_dir", "/tmp/desr_ab_ckpt",
+    ] + extra
+    opt = TrainOptions().parse(argv)
+    model = create_model(opt)
+    model.setup()
+
+    b = opt.batch_size
+    data = make_batch(args.stage, b, opt.crop_size_h, opt.crop_size_w)
+    model.set_input(data)
+
+    def sync():
+        m = model.metrics
+        key = "G" if "G" in m else sorted(m)[0]
+        return float(m[key])
+
+    for i in range(args.warmup):
+        model.optimize_parameters(i + 1)
+    sync()
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        model.optimize_parameters(args.warmup + i + 1)
+    sync()
+    dt = (time.perf_counter() - t0) / args.steps
+
+    n_chips = max(1, len(jax.devices()))
+    print(f"[ab] stage={args.stage} extra={extra} backend={jax.default_backend()}"
+          f" steps={args.steps}")
+    print(f"[ab] {dt:.4f} s/step  {b / dt / n_chips:.4f} pairs/sec/chip")
+
+
+if __name__ == "__main__":
+    main()
