@@ -118,8 +118,18 @@ def conv2d_pallas_supported(x_shape, k, c_out, pad=0, dtype_bytes=2):
     return _plan(x_shape, k, c_out, pad, dtype_bytes) is not None
 
 
-def _conv_kernel(x_hbm, w_ref, out_ref, xbuf, sem, *, k, R, WC, C, O, WO,
-                 W, H, pad, gsize, kp):
+def _conv_kernel(*refs, k, R, WC, C, O, WO, W, H, pad, gsize, kp,
+                 prologue=False, relu=False, stats=False):
+    # refs: x_hbm, w_ref[, scale_ref, shift_ref], out_ref[, stats_ref],
+    #        xbuf, sem — composition is static per (prologue, stats) variant.
+    it = iter(refs)
+    x_hbm, w_ref = next(it), next(it)
+    scale_ref = next(it) if prologue else None
+    shift_ref = next(it) if prologue else None
+    out_ref = next(it)
+    stats_ref = next(it) if stats else None
+    xbuf, sem = next(it), next(it)
+
     b = pl.program_id(0)
     i = pl.program_id(1)
     nh = pl.num_programs(1)
@@ -127,13 +137,21 @@ def _conv_kernel(x_hbm, w_ref, out_ref, xbuf, sem, *, k, R, WC, C, O, WO,
 
     xbuf[:] = jnp.zeros_like(xbuf)
 
-    # band row r holds virtually-padded row i*R + r; clamp boundary bands
+    # band row r holds virtually-padded row i*R + r; clamp boundary bands.
+    # The fused normalize(+ReLU) prologue runs on exactly the DMA'd extent so
+    # the virtual zero padding stays zero (relu(0*s+t) != 0 in general).
     def dma(src_row, dst_row, rows):
         cp = pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(src_row, rows), :, :],
             xbuf.at[pl.ds(dst_row, rows), pl.ds(_XOFF, W), :], sem)
         cp.start()
         cp.wait()
+        if prologue:
+            v = xbuf[pl.ds(dst_row, rows), pl.ds(_XOFF, W), :].astype(jnp.float32)
+            v = v * scale_ref[0, :] + shift_ref[0, :]
+            if relu:
+                v = jnp.maximum(v, 0.0)
+            xbuf[pl.ds(dst_row, rows), pl.ds(_XOFF, W), :] = v.astype(xbuf.dtype)
 
     if pad == 0:
         dma(i * R, 0, band)
@@ -152,6 +170,8 @@ def _conv_kernel(x_hbm, w_ref, out_ref, xbuf, sem, *, k, R, WC, C, O, WO,
 
     x = xbuf[:]
     base = _XOFF - pad
+    ssum = jnp.zeros((O,), jnp.float32) if stats else None
+    ss2 = jnp.zeros((O,), jnp.float32) if stats else None
     for j0 in range(0, WO, WC):  # static W sweep (ragged tail chunk allowed)
         wj = min(WC, WO - j0)
         acc = jnp.zeros((R * wj, O), jnp.float32)
@@ -167,6 +187,14 @@ def _conv_kernel(x_hbm, w_ref, out_ref, xbuf, sem, *, k, R, WC, C, O, WO,
                 acc = acc + jnp.dot(xm, wm, preferred_element_type=jnp.float32)
         out_ref[0, :, j0:j0 + wj, :] = (
             acc.reshape(R, wj, O).astype(out_ref.dtype))
+        if stats:
+            # per-band partials of the RAW f32 accumulator (pre output-dtype
+            # rounding); the caller reduces over bands
+            ssum = ssum + jnp.sum(acc, axis=0)
+            ss2 = ss2 + jnp.sum(jnp.square(acc), axis=0)
+    if stats:
+        srow = jnp.zeros((8, O), jnp.float32)
+        stats_ref[0, 0] = srow.at[0].set(ssum).at[1].set(ss2)
 
 
 def _align8(n):
@@ -187,8 +215,10 @@ def _expand_taps(x, gsize, we):
     return jnp.concatenate([x[:, :, t:t + we, :] for t in range(gsize)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "pad", "interpret"))
-def _conv_pallas_impl(x, wmat, k, pad=0, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "pad", "relu", "stats", "interpret"))
+def _conv_pallas_impl(x, wmat, k, pad=0, scale=None, shift=None, relu=False,
+                      stats=False, interpret=False):
     b, h, w, c = x.shape
     o = wmat.shape[-1]
     ho, wo = h - k + 1 + 2 * pad, w - k + 1 + 2 * pad
@@ -196,6 +226,8 @@ def _conv_pallas_impl(x, wmat, k, pad=0, interpret=False):
     R, WC = plan
     gsize = min(max(1, 128 // c), k)
     kp = -(-k // gsize) * gsize  # taps zero-padded to a multiple of gsize
+    prologue = scale is not None
+    assert not (prologue and gsize > 1), "prologue needs unexpanded lanes"
     if kp > k:
         pad_w = jnp.zeros((k, (kp - k) * c, o), wmat.dtype)
         wmat = jnp.concatenate([wmat, pad_w], axis=1)
@@ -203,25 +235,45 @@ def _conv_pallas_impl(x, wmat, k, pad=0, interpret=False):
         x = _expand_taps(x, gsize, _align8(wo + kp - gsize))
 
     w_eff, c_eff = x.shape[2], x.shape[3]
+    nh = ho // R
     kern = functools.partial(_conv_kernel, k=k, R=R, WC=WC, C=c, O=o, WO=wo,
-                             W=w_eff, H=h, pad=pad, gsize=gsize, kp=kp)
-    return pl.pallas_call(
+                             W=w_eff, H=h, pad=pad, gsize=gsize, kp=kp,
+                             prologue=prologue, relu=relu, stats=stats)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((k, kp * c, o), lambda b_, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [x, wmat]
+    if prologue:
+        in_specs += [pl.BlockSpec((1, c), lambda b_, i: (b_, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        inputs += [scale.astype(jnp.float32), shift.astype(jnp.float32)]
+    out_specs = pl.BlockSpec((1, R, wo, o), lambda b_, i: (b_, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, ho, wo, o), x.dtype)
+    if stats:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, 8, o), lambda b_, i: (b_, i, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, nh, 8, o), jnp.float32))
+    res = pl.pallas_call(
         kern,
-        grid=(b, ho // R),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k, kp * c, o), lambda b_, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, R, wo, o), lambda b_, i: (b_, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ho, wo, o), x.dtype),
+        grid=(b, nh),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((R + k - 1, _XOFF + w_eff + 8, c_eff), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x, wmat)
+    )(*inputs)
+    if not stats:
+        return res
+    out, bands = res
+    return out, bands[:, :, 0].sum(axis=1), bands[:, :, 1].sum(axis=1)
 
 
 def _wmat(w_oihw, dtype):
@@ -263,3 +315,70 @@ def _conv_bwd(pad, interpret, res, g):
 
 
 conv2d_pallas.defvjp(_conv_fwd, _conv_bwd)
+
+
+def _fused_ref(x, w_oihw, scale, shift, pad, relu, stats):
+    """XLA composition with the fused kernel's semantics (used for the VJP
+    and as the interpret/parity oracle)."""
+    if scale is not None:
+        v = x.astype(jnp.float32) * scale.astype(jnp.float32)[:, None, None, :] \
+            + shift.astype(jnp.float32)[:, None, None, :]
+        if relu:
+            v = jnp.maximum(v, 0.0)
+        x = v.astype(x.dtype)
+    out = _conv_ref(x, w_oihw, pad)
+    if not stats:
+        return out
+    f = out.astype(jnp.float32)
+    return out, jnp.sum(f, axis=(1, 2)), jnp.sum(jnp.square(f), axis=(1, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def conv2d_pallas_fused(x, w_oihw, scale, shift, pad=0, relu=False,
+                        stats=False, interpret=None):
+    """Fused normalize(+ReLU) -> stride-1 conv (-> IN stats) in one kernel.
+
+    ``scale``/``shift``: per-(batch, channel) f32 vectors applied to the
+    input DURING the band DMA — the caller never materializes the
+    normalized activation (this is the pass InstanceNorm/GroupNorm tails
+    otherwise write + the next conv re-reads). Pass None to skip.
+    ``stats=True`` additionally returns (sum, sumsq) of the raw f32 conv
+    output over H, W per (batch, channel) — the one-pass InstanceNorm
+    moments of THIS conv's output, accumulated in the MXU epilogue instead
+    of a second full-tensor read. Conv bias is intentionally unsupported:
+    a bias feeding an InstanceNorm cancels in the mean subtraction, so
+    fused chains elide it exactly (QUIRKS.md-grade parity: torch's bias
+    grads through IN are numerically ~0 and Adam's eps floors them).
+
+    Backward falls back to the XLA composition (_fused_ref), recomputing
+    the prologue like the scoped tail remat already does for these chains.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _conv_pallas_impl(x, _wmat(w_oihw, x.dtype), w_oihw.shape[-1],
+                             pad=pad, scale=scale, shift=shift, relu=relu,
+                             stats=stats, interpret=interpret)
+
+
+def _fused_fwd(x, w_oihw, scale, shift, pad, relu, stats, interpret):
+    out = conv2d_pallas_fused(x, w_oihw, scale, shift, pad, relu, stats,
+                              interpret)
+    return out, (x, w_oihw, scale, shift)
+
+
+def _fused_bwd(pad, relu, stats, interpret, res, g):
+    x, w, scale, shift = res
+    if scale is None:
+        _, vjp = jax.vjp(
+            lambda xx, ww: _fused_ref(xx, ww, None, None, pad, relu, stats),
+            x, w)
+        dx, dw = vjp(g)
+        return dx, dw.astype(w.dtype), None, None
+    _, vjp = jax.vjp(
+        lambda xx, ww, sc, sh: _fused_ref(xx, ww, sc, sh, pad, relu, stats),
+        x, w, scale, shift)
+    dx, dw, dsc, dsh = vjp(g)
+    return dx, dw.astype(w.dtype), dsc, dsh
+
+
+conv2d_pallas_fused.defvjp(_fused_fwd, _fused_bwd)

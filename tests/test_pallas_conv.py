@@ -83,6 +83,67 @@ def test_custom_vjp_grads_match_xla():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("pad,relu,stats", [
+    (1, True, True), (1, False, False), (0, True, False), (1, True, False),
+])
+def test_fused_prologue_and_stats_match_composition(pad, relu, stats):
+    from desr_tpu.ops.pallas_conv import _fused_ref, conv2d_pallas_fused
+
+    shape, cout, k = (2, 24, 160, 128), 64, 3
+    x, w = _xw(shape, cout, k, seed=11)
+    rng = np.random.default_rng(12)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, (shape[0], shape[-1])), jnp.float32)
+    shift = jnp.asarray(rng.standard_normal((shape[0], shape[-1])), jnp.float32)
+
+    got = conv2d_pallas_fused(x, w, scale, shift, pad, relu, stats)
+    want = _fused_ref(x, w, scale, shift, pad, relu, stats)
+    if not stats:
+        got, want = (got,), (want,)
+    for g, v in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(v),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_fused_no_prologue_stats_only():
+    from desr_tpu.ops.pallas_conv import _fused_ref, conv2d_pallas_fused
+
+    shape, cout, k, pad = (1, 16, 136, 256), 128, 3, 1
+    x, w = _xw(shape, cout, k, seed=13)
+    out, s, s2 = conv2d_pallas_fused(x, w, None, None, pad, False, True)
+    wout, ws, ws2 = _fused_ref(x, w, None, None, pad, False, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(wout),
+                               rtol=1e-4, atol=1e-4)
+    # f32 accumulation-order noise; near-zero channel sums need the atol
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ws),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(ws2),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_fused_grads_match_composition():
+    from desr_tpu.ops.pallas_conv import _fused_ref, conv2d_pallas_fused
+
+    shape, cout, k, pad = (1, 16, 136, 128), 32, 3, 1
+    x, w = _xw(shape, cout, k, seed=17)
+    rng = np.random.default_rng(18)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, (1, 128)), jnp.float32)
+    shift = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+
+    def loss_pal(x, w, sc, sh):
+        out, s, s2 = conv2d_pallas_fused(x, w, sc, sh, pad, True, True)
+        return jnp.sum(jnp.sin(out)) + jnp.sum(s * s2) * 1e-3
+
+    def loss_ref(x, w, sc, sh):
+        out, s, s2 = _fused_ref(x, w, sc, sh, pad, True, True)
+        return jnp.sum(jnp.sin(out)) + jnp.sum(s * s2) * 1e-3
+
+    g1 = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(x, w, scale, shift)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, scale, shift)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def _ring_layer_and_input():
     from desr_tpu.models import layers as L
 
