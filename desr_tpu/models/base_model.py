@@ -88,9 +88,13 @@ class BaseModel:
             # models override _default_pallas_conv
             opt.pallas_conv = (self._default_pallas_conv
                                and self.mesh.size == 1)
+        if getattr(opt, "pallas_fuse", None) is None:
+            opt.pallas_fuse = (self._default_pallas_fuse
+                               and self.mesh.size == 1)
 
     _default_remat_tails = True
     _default_pallas_conv = False
+    _default_pallas_fuse = False
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -59,6 +59,7 @@ class Ctx:
     row_tap: bool = False  # k-row 1xk decomposition of large-k big-C convs (see _conv_row_taps)
     onepass_stats: bool = True  # one-pass InstanceNorm stats (see _sum_and_sumsq_hw)
     pallas_conv: bool = False  # hand-tiled pallas 3x3 ring-base conv kernel
+    pallas_fuse: bool = False  # fused conv->norm->relu chains (see Sequential._run_fused_chain)
 
 
 def ctx_flags(opt):
@@ -79,6 +80,7 @@ def ctx_flags(opt):
         phase_convt=getattr(opt, "phase_convt", False),
         row_tap=getattr(opt, "row_tap", False),
         pallas_conv=bool(getattr(opt, "pallas_conv", False)),
+        pallas_fuse=bool(getattr(opt, "pallas_fuse", False)),
     )
 
 
@@ -224,6 +226,107 @@ class Sequential(Layer):
             return self._apply_remat_tails(params, x, prefix, ctx, start)
         return self._run(params, x, prefix, ctx, start, len(self.layers))
 
+    def _fused_link(self, x, ctx, i, hi):
+        """Parse a pallas-fusable ring-conv link at layer index i.
+
+        Two forms cover both net lineages: [ReflectionPad2d/
+        ReplicationPad2d(1), Conv2d(k=3, pad=0)] (pix2pix, networks.py) and
+        [Conv2d(k=3, pad=1, padding_mode=reflect/replicate)] (translation
+        lineage). Returns (pad_mode, conv, conv_idx, next_idx) or None.
+        """
+        if i >= hi:
+            return None
+        lyr = self.layers[i]
+        if isinstance(lyr, (ReflectionPad2d, ReplicationPad2d)):
+            if i + 1 >= hi or not isinstance(self.layers[i + 1], Conv2d):
+                return None
+            conv = self.layers[i + 1]
+            if lyr.pad != 1 or conv.padding != 0:
+                return None
+            mode = "reflect" if isinstance(lyr, ReflectionPad2d) else "edge"
+            ci, nxt = i + 1, i + 2
+        elif isinstance(lyr, Conv2d):
+            conv = lyr
+            if conv.padding != 1 or conv.padding_mode not in ("reflect", "replicate"):
+                return None
+            mode = _PAD_MODE[conv.padding_mode]
+            ci, nxt = i, i + 1
+        else:
+            return None
+        if not (ctx.ring_pad and conv.ring_pad_ok(x, 1)):
+            return None
+        if not conv.pallas_ok(x, ctx, 1, flag=ctx.pallas_fuse):
+            return None
+        return mode, conv, ci, nxt
+
+    def _run_fused_chain(self, params, x, prefix, ctx, i, hi):
+        """Run a fused [conv -> norm -> relu -> conv ...] chain from layer i.
+
+        The pallas kernel emits each conv's InstanceNorm/GroupNorm moments
+        with the conv itself (no stats re-read) and applies the previous
+        norm's normalize(+ReLU) during its band DMA (the normalized
+        activation never materializes; conv biases feeding a norm fold into
+        the norm's scale/shift vectors exactly — see _norm_vectors). Each
+        fused conv's custom VJP stores only its raw input, i.e. the same
+        conv-outputs-only save set the scoped tail remat keeps, so chains
+        bypass jax.checkpoint grouping (_apply_remat_tails).
+
+        Entry points: a link whose conv feeds a norm, or a bare norm whose
+        (optional-ReLU) consumer is a fusable link — the latter picks up
+        stats with the one-pass XLA reduction (e.g. after a stride-2 conv).
+        Returns (x, next_index) or None if nothing fuses at i.
+        """
+        layers = self.layers
+        norm_types = (InstanceNorm2d, GroupNorm)
+
+        link = self._fused_link(x, ctx, i, hi)
+        if link is not None:
+            mode, conv, ci, nxt = link
+            if nxt >= hi or not isinstance(layers[nxt], norm_types):
+                return None
+            x, s, s2 = conv.apply_ring(params, x, f"{prefix}{ci}.", ctx, mode,
+                                       want_stats=True, add_bias=False)
+            bias = params.get(f"{prefix}{ci}.bias") if conv.bias else None
+            i = nxt
+        elif isinstance(layers[i], norm_types):
+            peek = i + 1
+            if peek < hi and isinstance(layers[peek], ReLU):
+                peek += 1
+            if self._fused_link(x, ctx, peek, hi) is None:
+                return None
+            s, s2 = _sum_and_sumsq_hw(x)
+            bias = None
+        else:
+            return None
+
+        n = x.shape[1] * x.shape[2]
+        while True:
+            scale, shift = _norm_vectors(layers[i], params, f"{prefix}{i}.",
+                                         s, s2, n, bias)
+            i += 1
+            relu = i < hi and isinstance(layers[i], ReLU)
+            if relu:
+                i += 1
+            link = self._fused_link(x, ctx, i, hi)
+            if link is not None:
+                mode, conv, ci, nxt = link
+                want = nxt < hi and isinstance(layers[nxt], norm_types)
+                res = conv.apply_ring(params, x, f"{prefix}{ci}.", ctx, mode,
+                                      prologue=(scale, shift, relu),
+                                      want_stats=want, add_bias=not want)
+                if not want:
+                    return res, nxt
+                x, s, s2 = res
+                bias = params.get(f"{prefix}{ci}.bias") if conv.bias else None
+                i = nxt
+                continue
+            # terminal: one fused multiply-add materializes the normalize(+ReLU)
+            y = x.astype(jnp.float32) * scale[:, None, None, :] \
+                + shift[:, None, None, :]
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            return y.astype(ctx.dtype), i
+
     def _run(self, params, x, prefix, ctx, lo, hi):
         """Run layers [lo, hi) with the pad+conv fusion peephole.
 
@@ -236,6 +339,11 @@ class Sequential(Layer):
         """
         i = lo
         while i < hi:
+            if ctx.pallas_fuse:
+                fused = self._run_fused_chain(params, x, prefix, ctx, i, hi)
+                if fused is not None:
+                    x, i = fused
+                    continue
             lyr = self.layers[i]
             nxt = self.layers[i + 1] if i + 1 < hi else None
             if (isinstance(lyr, (ReflectionPad2d, ReplicationPad2d))
@@ -275,6 +383,14 @@ class Sequential(Layer):
         layers, n = self.layers, len(self.layers)
         i = start
         while i < n:
+            if ctx.pallas_fuse:
+                # fused chains keep the same conv-outputs-only save set via
+                # their custom VJPs — no checkpoint grouping needed (or
+                # wanted: it would recompute the convs themselves)
+                fused = self._run_fused_chain(params, x, prefix, ctx, i, n)
+                if fused is not None:
+                    x, i = fused
+                    continue
             if not isinstance(layers[i], cheap):
                 # conv with no cheap prefix, or a composite/barrier layer
                 x = self._run(params, x, prefix, ctx, i, i + 1)
@@ -492,14 +608,18 @@ class Conv2d(Layer):
             out = out + bias
         return out
 
-    def pallas_ok(self, x, ctx, pad):
+    def pallas_ok(self, x, ctx, pad, flag=None):
         """Route this conv through the pallas im2col kernel?
 
-        Only when the flag is on, the mesh is single-device (pallas_call has
-        no GSPMD partitioning rule, so under a >1-device mesh it would force
-        replication), and the kernel has a VMEM tiling for the shape.
+        Only when the flag is on (``ctx.pallas_conv``, or an explicit
+        override — the fused-chain peephole gates on ``ctx.pallas_fuse``),
+        the mesh is single-device (pallas_call has no GSPMD partitioning
+        rule, so under a >1-device mesh it would force replication), and the
+        kernel has a VMEM tiling for the shape.
         """
-        if not ctx.pallas_conv or self.stride != 1 or self.dilation != 1:
+        if not (ctx.pallas_conv if flag is None else flag):
+            return False
+        if self.stride != 1 or self.dilation != 1:
             return False
         mesh = getattr(ctx, "mesh", None)
         if mesh is not None and getattr(mesh, "size", 1) > 1:
@@ -526,7 +646,8 @@ class Conv2d(Layer):
                 and x.shape[1] >= 4 and x.shape[2] >= 4
                 and x.shape[1] * x.shape[2] >= 1 << 14)
 
-    def apply_ring(self, params, x, prefix, ctx, mode):
+    def apply_ring(self, params, x, prefix, ctx, mode, prologue=None,
+                   want_stats=False, add_bias=True):
         """[Reflect/ReplicationPad(1), 3x3 conv] with NO pad materialization.
 
         The zero-padded conv differs from the true reflect/edge-padded conv
@@ -549,6 +670,17 @@ class Conv2d(Layer):
 
         mode: 'reflect' uses ring value index r=1..p, 'edge' repeats the
         edge line (torch ReflectionPad2d / ReplicationPad2d semantics).
+
+        Fused-chain extensions (see Sequential._run_fused_chain):
+        ``prologue=(scale, shift, relu)`` — the conv's true input is
+        ``[relu](x * scale + shift)`` with per-(batch, channel) vectors;
+        applied inside the pallas kernel's band DMA for the base conv and
+        elementwise on the thin border slices for the corrections, so the
+        normalized activation never materializes. ``want_stats`` returns
+        ``(out, s, s2)`` — per-(batch, channel) f32 sum/sumsq of the
+        (pre-cast, correction-included, bias-less) output, i.e. the one-pass
+        InstanceNorm moments without re-reading the tensor. ``add_bias=False``
+        elides the bias (the chain folds it into the next norm's vectors).
         """
         w = params[prefix + "weight"].astype(ctx.dtype)
         x = x.astype(ctx.dtype)
@@ -558,9 +690,35 @@ class Conv2d(Layer):
         p = k // 2
         reflect = mode == "reflect"
 
+        if prologue is None:
+            def fx(v):
+                return v
+        else:
+            _sc, _sh, _relu = prologue
+
+            def fx(v):
+                r = v.astype(jnp.float32) * _sc[:, None, None, :] \
+                    + _sh[:, None, None, :]
+                if _relu:
+                    r = jnp.maximum(r, 0.0)
+                return r.astype(ctx.dtype)
+
         # base: virtually-zero-padded conv; small-C_out heads compose with
         # the tap decomposition (their direct conv runs at 1/128 MXU lanes)
-        if self.tap_conv_ok(x, ctx):
+        s0 = s20 = None
+        if prologue is not None or want_stats:
+            from desr_tpu.ops.pallas_conv import conv2d_pallas_fused
+
+            sc = None if prologue is None else _sc
+            sh = None if prologue is None else _sh
+            relu_p = False if prologue is None else _relu
+            res = conv2d_pallas_fused(x, w, sc, sh, p, relu_p, want_stats)
+            if want_stats:
+                out, s0, s20 = res
+            else:
+                out = res
+            out = out.astype(jnp.float32)
+        elif self.tap_conv_ok(x, ctx):
             out = self._conv_taps(x, w, None, pad=p).astype(jnp.float32)
         elif self.pallas_ok(x, ctx, p):
             from desr_tpu.ops.pallas_conv import conv2d_pallas
@@ -568,6 +726,7 @@ class Conv2d(Layer):
             out = conv2d_pallas(x, w, p).astype(jnp.float32)
         else:
             out = self._conv(x, w, (p, p), (p, p)).astype(jnp.float32)
+        out0 = out
 
         # index k in the padded kernel = zero block (invalid (c, j) pairs)
         wpad_kx = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 1)))
@@ -608,15 +767,15 @@ class Conv2d(Layer):
             return jnp.einsum("blk,kc->blc", m, cw).reshape(B, L, p, O)
 
         if reflect:
-            ls = x[:, :, 1:p + 1, :]                       # [B, H, p, C]
-            rs = x[:, :, W - 2:W - 2 - p:-1, :]
-            ts = jnp.moveaxis(x[:, 1:p + 1, :, :], 1, 2)   # [B, W, p, C]
-            bs = jnp.moveaxis(x[:, H - 2:H - 2 - p:-1, :, :], 1, 2)
+            ls = fx(x[:, :, 1:p + 1, :])                       # [B, H, p, C]
+            rs = fx(x[:, :, W - 2:W - 2 - p:-1, :])
+            ts = jnp.moveaxis(fx(x[:, 1:p + 1, :, :]), 1, 2)   # [B, W, p, C]
+            bs = jnp.moveaxis(fx(x[:, H - 2:H - 2 - p:-1, :, :]), 1, 2)
         else:
-            ls = jnp.repeat(x[:, :, :1, :], p, axis=2)
-            rs = jnp.repeat(x[:, :, W - 1:, :], p, axis=2)
-            ts = jnp.moveaxis(jnp.repeat(x[:, :1, :, :], p, axis=1), 1, 2)
-            bs = jnp.moveaxis(jnp.repeat(x[:, H - 1:, :, :], p, axis=1), 1, 2)
+            ls = jnp.repeat(fx(x[:, :, :1, :]), p, axis=2)
+            rs = jnp.repeat(fx(x[:, :, W - 1:, :]), p, axis=2)
+            ts = jnp.moveaxis(jnp.repeat(fx(x[:, :1, :, :]), p, axis=1), 1, 2)
+            bs = jnp.moveaxis(jnp.repeat(fx(x[:, H - 1:, :, :]), p, axis=1), 1, 2)
 
         corr_l = corr(ls, H, wpad_kx, 3, idx_near)          # [B, H, p, O] cols 0..p-1
         corr_r = corr(rs, H, wpad_kx, 3, idx_far)           # cols W-1-d
@@ -639,15 +798,16 @@ class Conv2d(Layer):
             return jnp.einsum("bjJc,ocxjyJ->bxyo", xc, ws).astype(jnp.float32)
 
         if reflect:
-            tl = x[:, 1:p + 1, 1:p + 1, :]
-            tr = x[:, 1:p + 1, W - 2:W - 2 - p:-1, :]
-            bl = x[:, H - 2:H - 2 - p:-1, 1:p + 1, :]
-            br = x[:, H - 2:H - 2 - p:-1, W - 2:W - 2 - p:-1, :]
+            tl = fx(x[:, 1:p + 1, 1:p + 1, :])
+            tr = fx(x[:, 1:p + 1, W - 2:W - 2 - p:-1, :])
+            bl = fx(x[:, H - 2:H - 2 - p:-1, 1:p + 1, :])
+            br = fx(x[:, H - 2:H - 2 - p:-1, W - 2:W - 2 - p:-1, :])
         else:
             def rep(v):
                 return jnp.broadcast_to(v[:, None, None, :], (B, p, p, C))
-            tl, tr = rep(x[:, 0, 0]), rep(x[:, 0, W - 1])
-            bl, br = rep(x[:, H - 1, 0]), rep(x[:, H - 1, W - 1])
+            tl, tr = rep(fx(x[:, :1, :1, :])[:, 0, 0]), rep(fx(x[:, :1, W - 1:, :])[:, 0, 0])
+            bl = rep(fx(x[:, H - 1:, :1, :])[:, 0, 0])
+            br = rep(fx(x[:, H - 1:, W - 1:, :])[:, 0, 0])
 
         c_tl = corner(tl, idx_near, idx_near)
         c_tr = corner(tr, idx_near, idx_far)[:, :, ::-1]
@@ -658,9 +818,24 @@ class Conv2d(Layer):
         out = out - jnp.pad(c_bl, ((0, 0), (H - p, 0), (0, W - p), (0, 0)))
         out = out - jnp.pad(c_br, ((0, 0), (H - p, 0), (W - p, 0), (0, 0)))
 
+        if want_stats:
+            # kernel stats cover the base (zero-pad) conv only; fix up the
+            # p-wide ring the corrections touched with disjoint thin slices
+            def ring_sums(t):
+                tops = jnp.sum(t[:, :p].astype(jnp.float32), axis=(1, 2))
+                bots = jnp.sum(t[:, H - p:].astype(jnp.float32), axis=(1, 2))
+                lefts = jnp.sum(t[:, p:H - p, :p].astype(jnp.float32), axis=(1, 2))
+                rights = jnp.sum(t[:, p:H - p, W - p:].astype(jnp.float32), axis=(1, 2))
+                return tops + bots + lefts + rights
+
+            s = s0 + ring_sums(out) - ring_sums(out0)
+            s2 = s20 + ring_sums(jnp.square(out)) - ring_sums(jnp.square(out0))
+
         out = out.astype(ctx.dtype)
-        if self.bias:
+        if add_bias and self.bias:
             out = out + params[prefix + "bias"].astype(ctx.dtype)
+        if want_stats:
+            return out, s, s2
         return out
 
     def apply_pad_fused(self, params, x, prefix, ctx, p, mode):
@@ -918,6 +1093,45 @@ class InstanceNorm2d(Layer):
         var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         scale = jax.lax.rsqrt(var + self.eps).astype(ctx.dtype)
         return (x - mean.astype(ctx.dtype)) * scale
+
+
+def _norm_vectors(norm, params, nprefix, s, s2, n, bias):
+    """Per-(batch, channel) f32 (scale, shift) with norm(x + bias) ==
+    x * scale + shift, from one-pass moments of the BIAS-LESS x.
+
+    The fused conv kernel never adds its bias; folding it here is exact:
+    sums of (x + b) are s + n*b and s2 + 2*b*s + n*b^2 per channel. For
+    InstanceNorm the bias then cancels in the mean subtraction (var is
+    unchanged); for GroupNorm the per-channel biases shift the group
+    moments and survive as per-channel offsets — both fall out of the same
+    formulas. Affine GroupNorm weight/bias fold into the vectors too.
+    """
+    s = s.astype(jnp.float32)
+    s2 = s2.astype(jnp.float32)
+    if bias is not None:
+        b = bias.astype(jnp.float32)
+        s2 = s2 + 2.0 * b * s + n * jnp.square(b)
+        s = s + n * b
+    else:
+        b = 0.0
+    if isinstance(norm, GroupNorm):
+        bsz, c = s.shape
+        g, cs = norm.g, c // norm.g
+        mean = jnp.repeat(s.reshape(bsz, g, cs).sum(-1) / (n * cs), cs, axis=1)
+        meansq = jnp.repeat(s2.reshape(bsz, g, cs).sum(-1) / (n * cs), cs, axis=1)
+    else:
+        mean = s / n
+        meansq = s2 / n
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + norm.eps)
+    scale = inv
+    shift = (b - mean) * inv
+    if getattr(norm, "affine", False):
+        gamma = params[nprefix + "weight"].astype(jnp.float32)
+        beta = params[nprefix + "bias"].astype(jnp.float32)
+        scale = scale * gamma
+        shift = shift * gamma + beta
+    return scale, shift
 
 
 class GroupNorm(Layer):

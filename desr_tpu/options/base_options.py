@@ -124,6 +124,20 @@ class BaseOptions:
         parser.add_argument("--no_pallas_conv", dest="pallas_conv",
                             action="store_false",
                             help="disable the pallas conv routing (A/B switch)")
+        parser.add_argument("--pallas_fuse", dest="pallas_fuse",
+                            action="store_true", default=None,
+                            help="fuse [conv -> InstanceNorm/GroupNorm -> "
+                                 "ReLU -> conv ...] chains through the pallas "
+                                 "kernel: norm moments come out of the conv's "
+                                 "MXU epilogue and the normalize(+ReLU) is "
+                                 "applied during the next conv's band DMA, so "
+                                 "neither the stats read nor the normalized "
+                                 "activation ever touches HBM. Single-device "
+                                 "meshes only. Default per-stage from "
+                                 "hardware A/B")
+        parser.add_argument("--no_pallas_fuse", dest="pallas_fuse",
+                            action="store_false",
+                            help="disable the pallas chain fusion (A/B switch)")
         parser.add_argument("--fused_pad", action="store_true",
                             help="enable the border-strip pad+conv fusion "
                                  "(measured 9%% slower than XLA's pad lowering "
