@@ -255,7 +255,7 @@ class Sequential(Layer):
             return None
         if not (ctx.ring_pad and conv.ring_pad_ok(x, 1)):
             return None
-        if not conv.pallas_ok(x, ctx, 1, flag=ctx.pallas_fuse):
+        if not conv.pallas_ok(x, ctx, 1, flag=ctx.pallas_fuse, fused=True):
             return None
         return mode, conv, ci, nxt
 
@@ -608,7 +608,7 @@ class Conv2d(Layer):
             out = out + bias
         return out
 
-    def pallas_ok(self, x, ctx, pad, flag=None):
+    def pallas_ok(self, x, ctx, pad, flag=None, fused=False):
         """Route this conv through the pallas im2col kernel?
 
         Only when the flag is on (``ctx.pallas_conv``, or an explicit
@@ -627,7 +627,8 @@ class Conv2d(Layer):
         from desr_tpu.ops.pallas_conv import conv2d_pallas_supported
 
         return conv2d_pallas_supported(tuple(x.shape), self.k, self.out_ch,
-                                       pad=pad, dtype_bytes=x.dtype.itemsize)
+                                       pad=pad, dtype_bytes=x.dtype.itemsize,
+                                       fused=fused)
 
     def ring_pad_ok(self, x, p):
         """apply_ring preconditions: the 3x3/pad-1 stride-1 'same' conv —

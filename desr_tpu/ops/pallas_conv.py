@@ -63,11 +63,12 @@ def _divisors(n, lo, hi):
     return [t for t in range(lo, min(n, hi) + 1) if n % t == 0]
 
 
-def _plan(x_shape, k, c_out, pad, dtype_bytes=2):
+def _plan(x_shape, k, c_out, pad, dtype_bytes=2, fused=False):
     """Pick (R rows/grid-step, WC compute-chunk cols) under the VMEM budget.
 
     Returns None when the shape has no legal/profitable tiling and the caller
-    must fall back to the XLA conv.
+    must fall back to the XLA conv. ``fused`` reserves room for the
+    prologue's chunked f32 transform temps and the stats output block.
     """
     b, h, w, c = x_shape
     ho, wo = h - k + 1 + 2 * pad, w - k + 1 + 2 * pad
@@ -90,6 +91,9 @@ def _plan(x_shape, k, c_out, pad, dtype_bytes=2):
     c_lane = max(c_eff, 128)  # VMEM lane padding of the band buffer
     wb = _XOFF + w_eff + 8
     wbytes = k * k * c * c_out * dtype_bytes
+    # one 8-row f32 prologue chunk temp (x1.5 margin for Mosaic's scoped
+    # stack) + the double-buffered stats block
+    fbytes = (12 * wb * c_lane * 4 + 2 * 8 * max(c_out, 128) * 4) if fused else 0
     for r in _divisors(ho, 8, 64):
         if r + k - 1 > h or (pad and ho // r < 2):
             continue  # band exceeds the image / boundary branches need nh>=2
@@ -99,7 +103,7 @@ def _plan(x_shape, k, c_out, pad, dtype_bytes=2):
             if wc > wo:
                 break
             accbytes = r * wc * c_out * 4
-            if xbytes + accbytes + outbytes + wbytes > _VMEM_BUDGET:
+            if xbytes + accbytes + outbytes + wbytes + fbytes > _VMEM_BUDGET:
                 continue
             key = (r * wc, wc)
             if best is None or key > best[0]:
@@ -109,13 +113,14 @@ def _plan(x_shape, k, c_out, pad, dtype_bytes=2):
     return best[1], best[2]
 
 
-def conv2d_pallas_supported(x_shape, k, c_out, pad=0, dtype_bytes=2):
+def conv2d_pallas_supported(x_shape, k, c_out, pad=0, dtype_bytes=2,
+                            fused=False):
     """Whether conv2d_pallas has a tiling for this config."""
     if not _HAS_PALLAS or pad not in (0, 1, 2, 3) or (pad and _XOFF < pad):
         return False
     if x_shape[0] * ((x_shape[1] - k + 1 + 2 * pad)) < 2 * 8:
         return False
-    return _plan(x_shape, k, c_out, pad, dtype_bytes) is not None
+    return _plan(x_shape, k, c_out, pad, dtype_bytes, fused=fused) is not None
 
 
 def _conv_kernel(*refs, k, R, WC, C, O, WO, W, H, pad, gsize, kp,
@@ -147,11 +152,17 @@ def _conv_kernel(*refs, k, R, WC, C, O, WO, W, H, pad, gsize, kp,
         cp.start()
         cp.wait()
         if prologue:
-            v = xbuf[pl.ds(dst_row, rows), pl.ds(_XOFF, W), :].astype(jnp.float32)
-            v = v * scale_ref[0, :] + shift_ref[0, :]
-            if relu:
-                v = jnp.maximum(v, 0.0)
-            xbuf[pl.ds(dst_row, rows), pl.ds(_XOFF, W), :] = v.astype(xbuf.dtype)
+            # 8-row chunks bound the f32 temp (a full-band transform's
+            # scoped-vmem stack blew the 16M limit at the 104x160x128 shape)
+            sc = scale_ref[pl.ds(b, 1), :]
+            sh = shift_ref[pl.ds(b, 1), :]
+            for r0 in range(0, rows, 8):
+                rr = min(8, rows - r0)
+                v = xbuf[pl.ds(dst_row + r0, rr), pl.ds(_XOFF, W), :].astype(jnp.float32)
+                v = v * sc + sh
+                if relu:
+                    v = jnp.maximum(v, 0.0)
+                xbuf[pl.ds(dst_row + r0, rr), pl.ds(_XOFF, W), :] = v.astype(xbuf.dtype)
 
     if pad == 0:
         dma(i * R, 0, band)
@@ -193,8 +204,10 @@ def _conv_kernel(*refs, k, R, WC, C, O, WO, W, H, pad, gsize, kp,
             ssum = ssum + jnp.sum(acc, axis=0)
             ss2 = ss2 + jnp.sum(jnp.square(acc), axis=0)
     if stats:
-        srow = jnp.zeros((8, O), jnp.float32)
-        stats_ref[0, 0] = srow.at[0].set(ssum).at[1].set(ss2)
+        # rows 0/1 = sum/sumsq, padded to the 8-sublane tile; concatenate
+        # (not .at[].set — Mosaic has no scatter lowering)
+        stats_ref[0, 0] = jnp.concatenate(
+            [ssum[None], ss2[None], jnp.zeros((6, O), jnp.float32)], axis=0)
 
 
 def _align8(n):
@@ -222,11 +235,12 @@ def _conv_pallas_impl(x, wmat, k, pad=0, scale=None, shift=None, relu=False,
     b, h, w, c = x.shape
     o = wmat.shape[-1]
     ho, wo = h - k + 1 + 2 * pad, w - k + 1 + 2 * pad
-    plan = _plan(x.shape, k, o, pad, x.dtype.itemsize)
+    prologue = scale is not None
+    plan = _plan(x.shape, k, o, pad, x.dtype.itemsize,
+                 fused=prologue or stats)
     R, WC = plan
     gsize = min(max(1, 128 // c), k)
     kp = -(-k // gsize) * gsize  # taps zero-padded to a multiple of gsize
-    prologue = scale is not None
     assert not (prologue and gsize > 1), "prologue needs unexpanded lanes"
     if kp > k:
         pad_w = jnp.zeros((k, (kp - k) * c, o), wmat.dtype)
@@ -246,7 +260,9 @@ def _conv_pallas_impl(x, wmat, k, pad=0, scale=None, shift=None, relu=False,
     ]
     inputs = [x, wmat]
     if prologue:
-        in_specs += [pl.BlockSpec((1, c), lambda b_, i: (b_, 0),
+        # whole-array blocks (a (1, C) block of a (B>1, C) array violates
+        # Mosaic's 8-sublane rule); the kernel rows-index by program_id(0)
+        in_specs += [pl.BlockSpec((b, c), lambda b_, i: (0, 0),
                                   memory_space=pltpu.VMEM)] * 2
         inputs += [scale.astype(jnp.float32), shift.astype(jnp.float32)]
     out_specs = pl.BlockSpec((1, R, wo, o), lambda b_, i: (b_, i, 0, 0),
