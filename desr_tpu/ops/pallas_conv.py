@@ -379,21 +379,34 @@ def conv2d_pallas_fused(x, w_oihw, scale, shift, pad=0, relu=False,
 def _fused_fwd(x, w_oihw, scale, shift, pad, relu, stats, interpret):
     out = conv2d_pallas_fused(x, w_oihw, scale, shift, pad, relu, stats,
                               interpret)
-    return out, (x, w_oihw, scale, shift)
+    # keep the primal conv output (free: it is alive as the chain's next
+    # input anyway) so the stats cotangent does not re-run the conv forward
+    res = (x, w_oihw, scale, shift, out[0] if stats else None)
+    return out, res
 
 
 def _fused_bwd(pad, relu, stats, interpret, res, g):
-    x, w, scale, shift = res
+    x, w, scale, shift, out = res
+    if stats:
+        # s = sum(out32), s2 = sum(out32^2): fold their cotangents into the
+        # conv-output cotangent analytically; the remaining vjp is stats-free
+        # so its primal conv is dead code (no conv recompute in backward)
+        g_out, g_s, g_s2 = g
+        out32 = out.astype(jnp.float32)
+        g_all = (g_out.astype(jnp.float32) + g_s[:, None, None, :]
+                 + 2.0 * out32 * g_s2[:, None, None, :]).astype(out.dtype)
+    else:
+        g_all = g
     if scale is None:
         _, vjp = jax.vjp(
-            lambda xx, ww: _fused_ref(xx, ww, None, None, pad, relu, stats),
+            lambda xx, ww: _fused_ref(xx, ww, None, None, pad, relu, False),
             x, w)
-        dx, dw = vjp(g)
+        dx, dw = vjp(g_all)
         return dx, dw.astype(w.dtype), None, None
     _, vjp = jax.vjp(
-        lambda xx, ww, sc, sh: _fused_ref(xx, ww, sc, sh, pad, relu, stats),
+        lambda xx, ww, sc, sh: _fused_ref(xx, ww, sc, sh, pad, relu, False),
         x, w, scale, shift)
-    dx, dw, dsc, dsh = vjp(g)
+    dx, dw, dsc, dsh = vjp(g_all)
     return dx, dw.astype(w.dtype), dsc, dsh
 
 

@@ -71,6 +71,9 @@ def main():
     ap.add_argument("stage", choices=sorted(STAGE_ARGV))
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=12)
+    ap.add_argument("--profile_dir", default=None,
+                    help="capture a 2-step jax.profiler trace after warmup "
+                         "(analyse with tools/xplane_profile.py)")
     args, extra = ap.parse_known_args()
 
     import jax
@@ -97,6 +100,14 @@ def main():
     for i in range(args.warmup):
         model.optimize_parameters(i + 1)
     sync()
+
+    if args.profile_dir:
+        import jax.profiler
+
+        with jax.profiler.trace(args.profile_dir):
+            for i in range(2):
+                model.optimize_parameters(100 + i)
+            sync()
 
     t0 = time.perf_counter()
     for i in range(args.steps):
