@@ -715,10 +715,10 @@ class Conv2d(Layer):
             relu_p = False if prologue is None else _relu
             res = conv2d_pallas_fused(x, w, sc, sh, p, relu_p, want_stats)
             if want_stats:
-                out, s0, s20 = res
+                base_cast, s0, s20 = res
             else:
-                out = res
-            out = out.astype(jnp.float32)
+                base_cast = res
+            out = base_cast.astype(jnp.float32)
         elif self.tap_conv_ok(x, ctx):
             out = self._conv_taps(x, w, None, pad=p).astype(jnp.float32)
         elif self.pallas_ok(x, ctx, p):
@@ -727,7 +727,6 @@ class Conv2d(Layer):
             out = conv2d_pallas(x, w, p).astype(jnp.float32)
         else:
             out = self._conv(x, w, (p, p), (p, p)).astype(jnp.float32)
-        out0 = out
 
         # index k in the padded kernel = zero block (invalid (c, j) pairs)
         wpad_kx = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 1)))
@@ -819,20 +818,26 @@ class Conv2d(Layer):
         out = out - jnp.pad(c_bl, ((0, 0), (H - p, 0), (0, W - p), (0, 0)))
         out = out - jnp.pad(c_br, ((0, 0), (H - p, 0), (W - p, 0), (0, 0)))
 
+        out = out.astype(ctx.dtype)
         if want_stats:
             # kernel stats cover the base (zero-pad) conv only; fix up the
-            # p-wide ring the corrections touched with disjoint thin slices
-            def ring_sums(t):
-                tops = jnp.sum(t[:, :p].astype(jnp.float32), axis=(1, 2))
-                bots = jnp.sum(t[:, H - p:].astype(jnp.float32), axis=(1, 2))
-                lefts = jnp.sum(t[:, p:H - p, :p].astype(jnp.float32), axis=(1, 2))
-                rights = jnp.sum(t[:, p:H - p, W - p:].astype(jnp.float32), axis=(1, 2))
-                return tops + bots + lefts + rights
+            # p-wide ring the corrections touched with disjoint thin slices.
+            # Both operands are ALREADY-materialized compute-dtype tensors
+            # (the kernel output and the layer output) — adjusting from the
+            # f32 accumulator instead gave it multiple consumers and XLA
+            # materialized full f32 HR copies (profiled: (bf16, f32) dual
+            # fusion outputs across every chain conv).
+            def ring_sums(t, sq):
+                def part(v):
+                    v = v.astype(jnp.float32)
+                    return jnp.sum(jnp.square(v) if sq else v, axis=(1, 2))
 
-            s = s0 + ring_sums(out) - ring_sums(out0)
-            s2 = s20 + ring_sums(jnp.square(out)) - ring_sums(jnp.square(out0))
+                return (part(t[:, :p]) + part(t[:, H - p:])
+                        + part(t[:, p:H - p, :p]) + part(t[:, p:H - p, W - p:]))
 
-        out = out.astype(ctx.dtype)
+            s = s0 + ring_sums(out, False) - ring_sums(base_cast, False)
+            s2 = s20 + ring_sums(out, True) - ring_sums(base_cast, True)
+
         if add_bias and self.bias:
             out = out + params[prefix + "bias"].astype(ctx.dtype)
         if want_stats:
