@@ -90,7 +90,7 @@ class BaseModel:
                                and self.mesh.size == 1)
         if getattr(opt, "pallas_fuse", None) is None:
             opt.pallas_fuse = (self._default_pallas_fuse
-                               and self.mesh.size == 1)
+                               if self.mesh.size == 1 else False)
 
     _default_remat_tails = True
     _default_pallas_conv = False

@@ -80,7 +80,9 @@ def ctx_flags(opt):
         phase_convt=getattr(opt, "phase_convt", False),
         row_tap=getattr(opt, "row_tap", False),
         pallas_conv=bool(getattr(opt, "pallas_conv", False)),
-        pallas_fuse=bool(getattr(opt, "pallas_fuse", False)),
+        # "frozen" enables fusion only for the frozen-net ctx the models
+        # build themselves (dataclasses.replace) — trained nets stay unfused
+        pallas_fuse=getattr(opt, "pallas_fuse", False) is True,
     )
 
 

@@ -25,6 +25,7 @@ As-shipped quirks preserved / handled:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import numpy as np
@@ -147,9 +148,13 @@ class MainModel(BaseModel):
         def forward(params, batch, rng, train):
             ctx = Ctx(train=train, rng=rng, dtype=dtype, mesh=mesh,
                       **ctx_flags(opt))
-            ga_ap = remat(lambda p, d, im: g_a_d.apply(p, d, im, ctx))
-            i2df_ap = remat(lambda p, x: i2d_f.apply(p, x, ctx))
-            i2d_ap = remat(lambda p, x: i2d.apply(p, x, ctx))
+            # frozen nets run forward-only: chain fusion applies under both
+            # --pallas_fuse and --pallas_fuse_frozen (see the flag help)
+            ctx_f = dataclasses.replace(
+                ctx, pallas_fuse=getattr(opt, "pallas_fuse", False) in (True, "frozen"))
+            ga_ap = remat(lambda p, d, im: g_a_d.apply(p, d, im, ctx_f))
+            i2df_ap = remat(lambda p, x: i2d_f.apply(p, x, ctx_f))
+            i2d_ap = remat(lambda p, x: i2d.apply(p, x, ctx_f))
             depthf_ap = remat(lambda p, x: depth_f.apply(p, x, ctx))
             # channel-split entry: the 4-tensor input concat never materializes
             task_ap = remat(lambda p, *parts: task.apply_parts(p, parts, ctx))

@@ -7,7 +7,11 @@ Reference: models/translation_model.py. Two dual-branch translators
 ``num_iter_dis`` discriminator steps (:274-291) — here each is one jitted,
 data-parallel program (grads flow only to the side being optimized; the other
 side's params are non-differentiated arguments, the functional equivalent of
-``set_requires_grad``).
+``set_requires_grad``). The FIRST D iteration reuses the last G forward's
+detached tensors exactly as the reference does (:284-291 calls ``forward()``
+only when ``j > 0``): the G step returns the tensors backward_D consumes and
+the D step trains on them — fakes from the PRE-update generator weights, and
+three generator applies cheaper than a fresh forward.
 
 As-shipped semantics preserved:
 - D_A trains against ``rec_depth_B`` / ``rec_norm_B`` as "real" instead of the
@@ -269,10 +273,36 @@ class TranslationModel(BaseModel):
 
         return g_losses
 
+    def _d_stateless(self):
+        """True when the Ds carry no per-apply state, so applying one D to
+        real and fake separately equals one batched apply on their concat:
+        the default basic/n_layers/pixel Ds with norm_d='none'/instance/group
+        are pure conv+LeakyReLU (per-sample norms at most). BatchNorm (Gu D,
+        norm_d='batch') mixes moments across the concat, and spectral norm
+        advances its power iteration once per apply — both stay unbatched."""
+        opt = self.opt
+        return (opt.netD != "Gu" and opt.norm_d != "batch"
+                and not getattr(opt, "use_spnorm", False)
+                and not getattr(opt, "no_batched_branches", False))
+
     def _d_losses_fn(self):
         """Discriminator objectives (translation_model.py:192-209)."""
         opt = self.opt
         d_apply = self._d_apply_fn()
+        batched = self._d_stateless()
+
+        def d_pair(d_full, name, real, fake, stats):
+            # backward_D_base (:193-197): 0.5*(GAN(D(real),1) + GAN(D(fake),0))
+            if batched:
+                pred = d_apply(d_full, name,
+                               jnp.concatenate([real, fake], axis=0), stats)
+                n = real.shape[0]
+                pr, pf = pred[:n], pred[n:]
+            else:
+                pr = d_apply(d_full, name, real, stats)
+                pf = d_apply(d_full, name, fake, stats)
+            return 0.5 * (L.gan_loss(pr, True, opt.gan_mode)
+                          + L.gan_loss(pf, False, opt.gan_mode))
 
         def d_losses(f, d_full, stats=None):
             m = {}
@@ -280,25 +310,35 @@ class TranslationModel(BaseModel):
             if opt.disc_for_depth:
                 # D_A: rec_depth_B as "real" (translation_model.py:201)
                 real_A = f["rec_depth_B"] if opt.use_cycle_B else f["real_depth_B"]
-                m["D_A_depth"] = 0.5 * (
-                    L.gan_loss(d_apply(d_full, "D_A_depth", real_A, stats), True, opt.gan_mode)
-                    + L.gan_loss(d_apply(d_full, "D_A_depth", f["fake_depth_B"], stats), False, opt.gan_mode))
-                m["D_B_depth"] = 0.5 * (
-                    L.gan_loss(d_apply(d_full, "D_B_depth", f["real_depth_A"], stats), True, opt.gan_mode)
-                    + L.gan_loss(d_apply(d_full, "D_B_depth", f["fake_depth_A"], stats), False, opt.gan_mode))
+                m["D_A_depth"] = d_pair(d_full, "D_A_depth", real_A,
+                                        f["fake_depth_B"], stats)
+                m["D_B_depth"] = d_pair(d_full, "D_B_depth", f["real_depth_A"],
+                                        f["fake_depth_A"], stats)
                 total += m["D_A_depth"] + m["D_B_depth"]
             if opt.disc_for_normals:
                 real_nA = f["rec_norm_B"] if opt.use_cycle_B else f["real_norm_B"]
-                m["D_A_normal"] = 0.5 * (
-                    L.gan_loss(d_apply(d_full, "D_A_normal", real_nA, stats), True, opt.gan_mode)
-                    + L.gan_loss(d_apply(d_full, "D_A_normal", f["fake_norm_B"], stats), False, opt.gan_mode))
-                m["D_B_normal"] = 0.5 * (
-                    L.gan_loss(d_apply(d_full, "D_B_normal", f["real_norm_A"], stats), True, opt.gan_mode)
-                    + L.gan_loss(d_apply(d_full, "D_B_normal", f["fake_norm_A"], stats), False, opt.gan_mode))
+                m["D_A_normal"] = d_pair(d_full, "D_A_normal", real_nA,
+                                         f["fake_norm_B"], stats)
+                m["D_B_normal"] = d_pair(d_full, "D_B_normal", f["real_norm_A"],
+                                         f["fake_norm_A"], stats)
                 total += m["D_A_normal"] + m["D_B_normal"]
             return total, m
 
         return d_losses
+
+    def _d_feed_keys(self):
+        """The forward tensors backward_D consumes (translation_model.py:
+        199-209) — the stale-feed contract between the last G step and the
+        first D step (see optimize_parameters)."""
+        opt = self.opt
+        keys = []
+        if opt.disc_for_depth:
+            keys += ["fake_depth_B", "fake_depth_A", "real_depth_A",
+                     "rec_depth_B" if opt.use_cycle_B else "real_depth_B"]
+        if opt.disc_for_normals:
+            keys += ["fake_norm_B", "fake_norm_A", "real_norm_A",
+                     "rec_norm_B" if opt.use_cycle_B else "real_norm_B"]
+        return sorted(set(keys))
 
     def _post_setup(self):
         opt = self.opt
@@ -306,6 +346,7 @@ class TranslationModel(BaseModel):
         disc_names = self.disc_names
         g_losses = self._g_losses_fn()
         d_losses = self._d_losses_fn()
+        feed_keys = self._d_feed_keys()
 
         def meters(x):
             return (x * (opt.max_distance / 2) + opt.max_distance / 2) / 1000.0
@@ -341,34 +382,44 @@ class TranslationModel(BaseModel):
                                                 meters(f["fake_depth_B"]), ~f["hole_mask_A"])
             m["depth_dif_B"] = L.masked_l1_loss(meters(f["real_depth_B"]),
                                                 meters(f["fake_depth_A"]), ~f["hole_mask_B"])
-            return new_params, new_opt, m, rng_next
+            feed = {k: jax.lax.stop_gradient(f[k]) for k in feed_keys}
+            return new_params, new_opt, m, feed, rng_next
 
-        def d_step(params, opt_state_d, batch, rng, lr):
-            rng_next, rng = jax.random.split(rng)
-            trains, auxs = {}, {}
-            for n in self.model_names:
-                trains[n], auxs[n] = split_trainable(params[n])
-            g_full = {n: dict(trains[n], **auxs[n]) for n in ["G_A", "G_B"]}
-            f = gen_forward(g_full, batch, rng, True)
-            f = {k: (jax.lax.stop_gradient(v) if isinstance(v, jnp.ndarray) else v)
-                 for k, v in f.items()}
-            d_train = {n: trains[n] for n in disc_names}
+        def make_d_step(fresh):
+            # fresh=False consumes the last G step's forward tensors (the
+            # reference's j==0 D iteration reuses them, :284-291 — computed
+            # with the PRE-update generator weights); fresh=True re-runs the
+            # generator forward with the current weights (reference j>0).
+            def d_step(params, opt_state_d, inp, rng, lr):
+                rng_next, rng = jax.random.split(rng)
+                trains, auxs = {}, {}
+                for n in self.model_names:
+                    trains[n], auxs[n] = split_trainable(params[n])
+                if fresh:
+                    g_full = {n: dict(trains[n], **auxs[n]) for n in ["G_A", "G_B"]}
+                    f = gen_forward(g_full, inp, rng, True)
+                    f = {k: (jax.lax.stop_gradient(v) if isinstance(v, jnp.ndarray) else v)
+                         for k, v in f.items()}
+                else:
+                    f = inp
+                d_train = {n: trains[n] for n in disc_names}
 
-            def loss_fn(dt):
-                d_full = {n: dict(dt[n], **auxs[n]) for n in disc_names}
-                stats = {}
-                total, m = d_losses(f, d_full, stats)
-                return total, (m, stats)
+                def loss_fn(dt):
+                    d_full = {n: dict(dt[n], **auxs[n]) for n in disc_names}
+                    stats = {}
+                    total, m = d_losses(f, d_full, stats)
+                    return total, (m, stats)
 
-            (total, (m, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_train)
-            new_d, new_opt = adam_update(grads, opt_state_d, d_train, lr,
-                                         b1=opt.beta1, b2=0.999)
-            new_params = dict(params)
-            for n in disc_names:
-                new_params[n] = dict(new_d[n], **auxs[n])
-                if stats.get(n):
-                    new_params[n] = dict(new_params[n], **stats[n])
-            return new_params, new_opt, m, rng_next
+                (total, (m, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_train)
+                new_d, new_opt = adam_update(grads, opt_state_d, d_train, lr,
+                                             b1=opt.beta1, b2=0.999)
+                new_params = dict(params)
+                for n in disc_names:
+                    new_params[n] = dict(new_d[n], **auxs[n])
+                    if stats.get(n):
+                        new_params[n] = dict(new_params[n], **stats[n])
+                return new_params, new_opt, m, rng_next
+            return d_step
 
         def eval_step(params, batch, rng):
             g_full = {n: params[n] for n in ["G_A", "G_B"]}
@@ -382,7 +433,9 @@ class TranslationModel(BaseModel):
             return m, f
 
         self._g_step = self.jit_train(g_step)
-        self._d_step = self.jit_train(d_step) if disc_names else None
+        self._d_step = self.jit_train(make_d_step(True)) if disc_names else None
+        # feed variant: params/opt_state donated, the feed is NOT (arg 2)
+        self._d_step_feed = self.jit_train(make_d_step(False)) if disc_names else None
         self._eval_step = jax.jit(eval_step)
 
         self._iter_step = None
@@ -396,24 +449,32 @@ class TranslationModel(BaseModel):
             n_g = max(1, opt.num_iter_gen)
             n_d = opt.num_iter_dis if disc_names else 0
 
+            d_fresh, d_feed_fn = make_d_step(True), make_d_step(False)
+
             def iter_step(params, os_g, os_d, batch, rng, lr, weights):
                 def g_body(carry, _):
                     p, o, r = carry
-                    p, o, m, r = g_step(p, o, batch, r, lr, weights)
-                    return (p, o, r), m
+                    p, o, m, feed, r = g_step(p, o, batch, r, lr, weights)
+                    return (p, o, r), (m, feed)
 
-                (params, os_g, rng), ms = jax.lax.scan(
+                (params, os_g, rng), (ms, feeds) = jax.lax.scan(
                     g_body, (params, os_g, rng), None, length=n_g)
                 m = jax.tree_util.tree_map(lambda v: v[-1], ms)
                 if n_d:
-                    def d_body(carry, _):
-                        p, o, r = carry
-                        p, o, md, r = d_step(p, o, batch, r, lr)
-                        return (p, o, r), md
+                    # first D iteration consumes the LAST G forward's tensors
+                    # (reference :284-291 reuses them when j == 0)
+                    feed = jax.tree_util.tree_map(lambda v: v[-1], feeds)
+                    params, os_d, md, rng = d_feed_fn(params, os_d, feed, rng, lr)
+                    if n_d > 1:
+                        def d_body(carry, _):
+                            p, o, r = carry
+                            p, o, md, r = d_fresh(p, o, batch, r, lr)
+                            return (p, o, r), md
 
-                    (params, os_d, rng), mds = jax.lax.scan(
-                        d_body, (params, os_d, rng), None, length=n_d)
-                    m.update(jax.tree_util.tree_map(lambda v: v[-1], mds))
+                        (params, os_d, rng), mds = jax.lax.scan(
+                            d_body, (params, os_d, rng), None, length=n_d - 1)
+                        md = jax.tree_util.tree_map(lambda v: v[-1], mds)
+                    m.update(md)
                 return params, os_g, os_d, m, rng
 
             self._iter_step = self.jit_train(iter_step, donate=(0, 1, 2))
@@ -461,15 +522,23 @@ class TranslationModel(BaseModel):
             self.set_step_rng(new_rng)
             self.metrics = dict(m)
             return
+        feed = None
         for _ in range(self.opt.num_iter_gen):
-            self.params, self.opt_state_G, m, new_rng = self._g_step(
+            self.params, self.opt_state_G, m, feed, new_rng = self._g_step(
                 self.params, self.opt_state_G, self._batch, self.step_rng(), lr, weights)
             self.set_step_rng(new_rng)
         self.metrics = dict(m)
         if self._d_step is not None:
-            for _ in range(self.opt.num_iter_dis):
-                self.params, self.opt_state_D, md, new_rng = self._d_step(
-                    self.params, self.opt_state_D, self._batch, self.step_rng(), lr)
+            for j in range(self.opt.num_iter_dis):
+                if j == 0 and feed is not None:
+                    # reference :284-291: the first D iteration reuses the
+                    # last G forward's (detached, pre-G-update) tensors;
+                    # only j > 0 re-runs the generator forward
+                    self.params, self.opt_state_D, md, new_rng = self._d_step_feed(
+                        self.params, self.opt_state_D, feed, self.step_rng(), lr)
+                else:
+                    self.params, self.opt_state_D, md, new_rng = self._d_step(
+                        self.params, self.opt_state_D, self._batch, self.step_rng(), lr)
                 self.set_step_rng(new_rng)
             self.metrics.update(md)
 

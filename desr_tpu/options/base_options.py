@@ -138,6 +138,14 @@ class BaseOptions:
         parser.add_argument("--no_pallas_fuse", dest="pallas_fuse",
                             action="store_false",
                             help="disable the pallas chain fusion (A/B switch)")
+        parser.add_argument("--pallas_fuse_frozen", dest="pallas_fuse",
+                            action="store_const", const="frozen",
+                            help="fuse chains only in FROZEN nets (forward-"
+                                 "only: the stage-2 translator and stage-1 "
+                                 "guidance nets in main/SR). Trained nets "
+                                 "keep the XLA path — their backward convs "
+                                 "otherwise inherit pallas-forced layouts "
+                                 "(profiled: doubled async-copy traffic)")
         parser.add_argument("--fused_pad", action="store_true",
                             help="enable the border-strip pad+conv fusion "
                                  "(measured 9%% slower than XLA's pad lowering "

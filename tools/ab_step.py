@@ -66,6 +66,45 @@ def make_batch(stage, b, h, w):
     return batch
 
 
+def run_eval(args, model, b):
+    """Steady-state timing of the serving forward (predict.py's graph)."""
+    import jax
+
+    forward = model._forward_fn()
+
+    def fwd_fn(p, bt, r):
+        f = forward(p, bt, r, False)
+        # scalar computed in-program: float() of it blocks on the whole
+        # executable with a one-element transfer (axon's block_until_ready
+        # is unreliable and full-tensor pulls skew tunnel timing — PERF.md)
+        key = max((k for k, v in f.items() if hasattr(v, "shape")),
+                  key=lambda k: int(np.prod(f[k].shape)))
+        return f[key].mean()
+
+    fwd = jax.jit(fwd_fn)
+    rng = jax.random.PRNGKey(0)
+
+    def step():
+        return float(fwd(model.params, model._batch, rng))
+
+    for _ in range(args.warmup):
+        step()
+    if args.profile_dir:
+        import jax.profiler
+
+        with jax.profiler.trace(args.profile_dir):
+            step()
+            step()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        step()
+    dt = (time.perf_counter() - t0) / args.steps
+    n_chips = max(1, len(jax.devices()))
+    print(f"[ab] stage={args.stage} EVAL backend={jax.default_backend()}"
+          f" steps={args.steps}")
+    print(f"[ab] {dt:.4f} s/fwd  {b / dt / n_chips:.4f} frames/sec/chip")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", choices=sorted(STAGE_ARGV))
@@ -74,6 +113,12 @@ def main():
     ap.add_argument("--profile_dir", default=None,
                     help="capture a 2-step jax.profiler trace after warmup "
                          "(analyse with tools/xplane_profile.py)")
+    ap.add_argument("--eval", action="store_true",
+                    help="time the SERVING graph instead: the jitted "
+                         "forward-only multi-net apply predict.py dispatches "
+                         "(no loss tail, no backward, no Adam). The relevant "
+                         "surface for --pallas_conv/--pallas_fuse, whose "
+                         "layout tax only train-graph XLA convs pay")
     args, extra = ap.parse_known_args()
 
     import jax
@@ -91,6 +136,10 @@ def main():
     b = opt.batch_size
     data = make_batch(args.stage, b, opt.crop_size_h, opt.crop_size_w)
     model.set_input(data)
+
+    if args.eval:
+        run_eval(args, model, b)
+        return
 
     def sync():
         m = model.metrics

@@ -117,7 +117,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("logdir", help="profile dir (searched recursively) or xplane.pb file")
     ap.add_argument("--top", type=int, default=40)
-    ap.add_argument("--by", choices=["op", "category"], default="op")
+    ap.add_argument("--by", choices=["op", "category", "source"], default="op",
+                    help="source: aggregate by the source_file:line HLO "
+                         "metadata embedded in op names")
     ap.add_argument("--json", action="store_true", help="machine-readable output")
     ap.add_argument("--host", action="store_true", help="include host planes too")
     args = ap.parse_args(argv)
@@ -148,6 +150,21 @@ def main(argv=None):
         for v in per_op.values():
             cats[v.category or "uncategorized"] += v.time_ps
         rows = [(c, t, None) for c, t in cats.most_common(args.top)]
+    elif args.by == "source":
+        import re
+
+        src_re = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
+        srcs = collections.Counter()
+        for name, v in per_op.items():
+            m = src_re.search(name) or src_re.search(v.long_name or "")
+            if m:
+                key = f"{m.group(1).split('/')[-1]}:{m.group(2)} [{v.category}]"
+            elif v.category:
+                key = f"<no-source> [{v.category}]"
+            else:
+                continue  # step/region marker events, not ops
+            srcs[key] += v.time_ps
+        rows = [(c, t, None) for c, t in srcs.most_common(args.top)]
     else:
         srt = sorted(per_op.items(), key=lambda kv: -kv[1].time_ps)[: args.top]
         rows = [(k, v.time_ps, v) for k, v in srt]
