@@ -76,10 +76,13 @@ def run_eval(args, model, b):
         f = forward(p, bt, r, False)
         # scalar computed in-program: float() of it blocks on the whole
         # executable with a one-element transfer (axon's block_until_ready
-        # is unreliable and full-tensor pulls skew tunnel timing — PERF.md)
-        key = max((k for k, v in f.items() if hasattr(v, "shape")),
-                  key=lambda k: int(np.prod(f[k].shape)))
-        return f[key].mean()
+        # is unreliable and full-tensor pulls skew tunnel timing — PERF.md).
+        # Sum over EVERY output so XLA cannot dead-code-eliminate any net
+        # (a single-tensor scalar let DCE delete the other branches).
+        import jax.numpy as jnp
+
+        return sum(jnp.mean(v.astype(jnp.float32))
+                   for v in f.values() if hasattr(v, "shape"))
 
     fwd = jax.jit(fwd_fn)
     rng = jax.random.PRNGKey(0)
