@@ -75,6 +75,11 @@ def main(argv=None):
         "--epoch", str(args.epoch), "--continue_train",
         "--spatial_devices", str(args.spatial_devices),
         "--num_devices", str(args.num_devices),
+        # serving only consumes the real branch: with the branches UNbatched
+        # (separate shared-weight applies instead of one concat-2B call),
+        # returning only pred_real lets XLA dead-code-eliminate the entire
+        # synthetic branch — translator + syn guidance + syn fusion head
+        "--no_batched_branches",
     ] + (["--SR"] if args.SR else []) + list(args.net_args)
     opt = TrainOptions().parse(model_argv)
 
@@ -85,7 +90,12 @@ def main(argv=None):
     model = Model(opt)
     model.setup()
     forward = model._forward_fn()
-    fwd = jax.jit(lambda p, b, r: forward(p, b, r, False))
+    key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
+    # return ONLY the real-branch prediction: XLA dead-code-eliminates the
+    # whole synthetic branch (translator G_A_d + pred_syn head) that the
+    # train-time forward computes for the loss zoo — roughly half the
+    # serving FLOPs — and the transfer pulls one tensor, not the full dict
+    fwd = jax.jit(lambda p, b, r: forward(p, b, r, False)[key])
 
     depth_paths = sorted(glob.glob(os.path.join(args.input_depth, "*")))
     img_paths = sorted(glob.glob(os.path.join(args.input_img, "*")))
@@ -94,8 +104,10 @@ def main(argv=None):
 
     K = np.array([[577.0, 0, 320], [0, 577, 240], [0, 0, 1]], np.float32)
     rng = jax.random.PRNGKey(0)
+    scale = 2 if args.SR else 1
     n_done = 0
-    for i in range(0, len(depth_paths), args.batch_size):
+
+    def decode_chunk(i):
         chunk_d = depth_paths[i : i + args.batch_size]
         chunk_i = img_paths[i : i + args.batch_size]
         depths, imgs, pad_infos, stems = [], [], [], []
@@ -117,10 +129,10 @@ def main(argv=None):
             "crop_A": np.tile(np.array([[0, h, 0, w]], np.float32), (b, 1)),
             "crop_B": np.tile(np.array([[0, h, 0, w]], np.float32), (b, 1)),
         }
-        f = fwd(model.params, model.shard(batch), rng)
-        key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
-        preds = np.asarray(f[key])  # planar (B, H', W')
-        scale = 2 if args.SR else 1
+        return batch, pad_infos, stems
+
+    def write_preds(preds, pad_infos, stems):
+        nonlocal n_done
         for j, stem in enumerate(stems):
             (t, bpad), (l, rpad) = pad_infos[j][0], pad_infos[j][1]
             p = preds[j]
@@ -130,6 +142,19 @@ def main(argv=None):
             save_uint16_png(out01, os.path.join(args.output, f"{stem}.png"))
             n_done += 1
         print(f"{n_done}/{len(depth_paths)} frames", file=sys.stderr)
+
+    # 1-deep pipeline over jax's async dispatch: batch i is decoded and
+    # dispatched BEFORE batch i-1's result is pulled, so host PNG decode +
+    # uint16 writes overlap the device forward of the in-flight batch
+    pending = None
+    for i in range(0, len(depth_paths), args.batch_size):
+        batch, pad_infos, stems = decode_chunk(i)
+        preds = fwd(model.params, model.shard(batch), rng)
+        if pending is not None:
+            write_preds(np.asarray(pending[0]), pending[1], pending[2])
+        pending = (preds, pad_infos, stems)
+    if pending is not None:
+        write_preds(np.asarray(pending[0]), pending[1], pending[2])
     print(f"wrote {n_done} predictions to {args.output}")
 
 
