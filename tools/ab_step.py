@@ -77,10 +77,17 @@ def run_eval(args, model, b):
         # scalar computed in-program: float() of it blocks on the whole
         # executable with a one-element transfer (axon's block_until_ready
         # is unreliable and full-tensor pulls skew tunnel timing — PERF.md).
-        # Sum over EVERY output so XLA cannot dead-code-eliminate any net
-        # (a single-tensor scalar let DCE delete the other branches).
         import jax.numpy as jnp
 
+        if args.serve:
+            # predict.py's graph: only the real-branch prediction is kept,
+            # so XLA prunes the synthetic branch (pair with
+            # --no_batched_branches, which predict.py forces)
+            key = ("pred_real_depth_hr" if "pred_real_depth_hr" in f
+                   else "pred_real_depth")
+            return jnp.mean(f[key].astype(jnp.float32))
+        # sum over EVERY output so XLA cannot dead-code-eliminate any net
+        # (a single-tensor scalar let DCE delete the other branches)
         return sum(jnp.mean(v.astype(jnp.float32))
                    for v in f.values() if hasattr(v, "shape"))
 
@@ -103,7 +110,8 @@ def run_eval(args, model, b):
         step()
     dt = (time.perf_counter() - t0) / args.steps
     n_chips = max(1, len(jax.devices()))
-    print(f"[ab] stage={args.stage} EVAL backend={jax.default_backend()}"
+    mode = "SERVE" if args.serve else "EVAL"
+    print(f"[ab] stage={args.stage} {mode} backend={jax.default_backend()}"
           f" steps={args.steps}")
     print(f"[ab] {dt:.4f} s/fwd  {b / dt / n_chips:.4f} frames/sec/chip")
 
@@ -116,6 +124,10 @@ def main():
     ap.add_argument("--profile_dir", default=None,
                     help="capture a 2-step jax.profiler trace after warmup "
                          "(analyse with tools/xplane_profile.py)")
+    ap.add_argument("--serve", action="store_true",
+                    help="with --eval: keep only the real-branch prediction "
+                         "(predict.py's graph) so XLA prunes the synthetic "
+                         "branch; combine with --no_batched_branches")
     ap.add_argument("--eval", action="store_true",
                     help="time the SERVING graph instead: the jitted "
                          "forward-only multi-net apply predict.py dispatches "
