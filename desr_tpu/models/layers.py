@@ -58,6 +58,7 @@ class Ctx:
     phase_convt: bool = False  # subpixel phase decomposition of stride-2 convT (see ConvTranspose2d)
     row_tap: bool = False  # k-row 1xk decomposition of large-k big-C convs (see _conv_row_taps)
     onepass_stats: bool = True  # one-pass InstanceNorm stats (see _sum_and_sumsq_hw)
+    fold_norm: bool = False  # single-FMA normalize x*scale+shift (see InstanceNorm2d)
     pallas_conv: bool = False  # hand-tiled pallas 3x3 ring-base conv kernel
     pallas_fuse: bool = False  # fused conv->norm->relu chains (see Sequential._run_fused_chain)
 
@@ -75,6 +76,7 @@ def ctx_flags(opt):
         fused_pad=getattr(opt, "fused_pad", False),
         split_conv=not getattr(opt, "no_split_conv", False),
         onepass_stats=not getattr(opt, "no_onepass_stats", False),
+        fold_norm=getattr(opt, "fold_norm", False),
         tap_conv=not getattr(opt, "no_tap_conv", False),
         ring_pad=not getattr(opt, "no_ring_pad", False),
         phase_convt=getattr(opt, "phase_convt", False),
@@ -1099,6 +1101,14 @@ class InstanceNorm2d(Layer):
             mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
             meansq = jnp.mean(jnp.square(x), axis=(1, 2), keepdims=True, dtype=jnp.float32)
         var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        if ctx.fold_norm:
+            # Single-FMA form: y = x*scale + shift with per-(B,C) f32
+            # vectors. The product rule backward then needs only x (already
+            # the stats residual) — the (x - mean) full-tensor residual the
+            # two-op form saves for its mul VJP disappears from HBM.
+            inv = jax.lax.rsqrt(var + self.eps)
+            shift = (-mean * inv).astype(ctx.dtype)
+            return x * inv.astype(ctx.dtype) + shift
         scale = jax.lax.rsqrt(var + self.eps).astype(ctx.dtype)
         return (x - mean.astype(ctx.dtype)) * scale
 
@@ -1167,6 +1177,21 @@ class GroupNorm(Layer):
         mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
         meansq = jnp.mean(jnp.square(xg), axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
         var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        if ctx.fold_norm:
+            # Fold the affine gamma/beta into the per-(B,1,1,G,1) f32
+            # normalize vectors: one FMA instead of normalize + affine
+            # (two full-tensor passes and an extra mul residual).
+            inv = jax.lax.rsqrt(var + self.eps)
+            shift = -mean * inv
+            if self.affine:
+                gamma = params[prefix + "weight"].astype(jnp.float32)
+                beta = params[prefix + "bias"].astype(jnp.float32)
+                gg = gamma.reshape(1, 1, 1, self.g, c // self.g)
+                bb = beta.reshape(1, 1, 1, self.g, c // self.g)
+                inv = inv * gg
+                shift = shift * gg + bb
+            out = xg * inv.astype(ctx.dtype) + shift.astype(ctx.dtype)
+            return out.reshape(b, h, w_, c)
         scale = jax.lax.rsqrt(var + self.eps).astype(ctx.dtype)
         out = ((xg - mean.astype(ctx.dtype)) * scale).reshape(b, h, w_, c)
         if self.affine:

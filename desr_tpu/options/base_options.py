@@ -175,6 +175,12 @@ class BaseOptions:
                                  "large-kernel small-channel convs (7x7 heads/"
                                  "stems) that keeps the MXU lanes busy "
                                  "(A/B switch)")
+        parser.add_argument("--fold_norm", action="store_true",
+                            help="normalize as one FMA x*scale+shift with f32 "
+                                 "per-(batch,channel) vectors (Instance/Group"
+                                 "Norm) so the backward keeps only x as the "
+                                 "full-tensor residual, not x AND (x-mean) "
+                                 "(A/B switch)")
         parser.add_argument("--no_onepass_stats", action="store_true",
                             help="use two-pass mean/mean-sq InstanceNorm stats "
                                  "instead of the one-pass variadic reduce (A/B switch)")

@@ -321,3 +321,32 @@ def test_row_tap_matches_direct():
     np.testing.assert_allclose(np.asarray(rtz), np.asarray(refz),
                                rtol=2e-5, atol=2e-5)
     assert not conv.row_tap_ok(x, Ctx(row_tap=False))
+
+
+def test_fold_norm_matches_default():
+    """--fold_norm single-FMA normalize == two-op form, values + grads,
+    for InstanceNorm (no affine) and affine GroupNorm."""
+    from desr_tpu.models.layers import GroupNorm
+    import dataclasses
+
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, 9, 10, 8), jnp.float32) * 3 + 2
+    base = Ctx(dtype=jnp.float32)
+    fold = dataclasses.replace(base, fold_norm=True)
+
+    ino = InstanceNorm2d(8)
+    np.testing.assert_allclose(np.asarray(ino.apply({}, x, "0.", fold)),
+                               np.asarray(ino.apply({}, x, "0.", base)),
+                               rtol=1e-5, atol=1e-5)
+    g0 = jax.grad(lambda x: jnp.sum(jnp.sin(ino.apply({}, x, "0.", base))))(x)
+    g1 = jax.grad(lambda x: jnp.sum(jnp.sin(ino.apply({}, x, "0.", fold))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5, atol=1e-5)
+
+    gn = GroupNorm(4, 8)
+    prm = gn.init(jax.random.PRNGKey(21), "n.", InitCfg())
+    np.testing.assert_allclose(np.asarray(gn.apply(prm, x, "n.", fold)),
+                               np.asarray(gn.apply(prm, x, "n.", base)),
+                               rtol=1e-5, atol=1e-5)
+    g0 = jax.grad(lambda p: jnp.sum(jnp.sin(gn.apply(p, x, "n.", base))))(prm)
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(gn.apply(p, x, "n.", fold))))(prm)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5)
