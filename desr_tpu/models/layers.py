@@ -51,6 +51,7 @@ class Ctx:
     stats: Optional[Dict[str, Any]] = None
     mesh: Any = None  # jax.sharding.Mesh for explicit layout anchors
     remat_tails: bool = False  # recompute norm/act tails in backward (see Sequential)
+    remat_blocks: bool = False  # recompute whole conv runs in backward (see run_block_remat)
     fused_pad: bool = False  # border-strip pad+conv fusion (see Conv2d.apply_pad_fused)
     split_conv: bool = True  # channel-split first conv (see Conv2d.apply_split)
     tap_conv: bool = True  # tap-decomposed large-k small-C convs (see Conv2d._conv_taps)
@@ -73,6 +74,7 @@ def ctx_flags(opt):
     """
     return dict(
         remat_tails=getattr(opt, "remat_tails", False),
+        remat_blocks=getattr(opt, "remat_blocks", False),
         fused_pad=getattr(opt, "fused_pad", False),
         split_conv=not getattr(opt, "no_split_conv", False),
         onepass_stats=not getattr(opt, "no_onepass_stats", False),
@@ -226,6 +228,9 @@ class Sequential(Layer):
         return params
 
     def apply(self, params, x, prefix, ctx, start=0):
+        if ctx.remat_blocks:
+            return run_block_remat(self, params, x, prefix, ctx, start,
+                                   len(self.layers))
         if ctx.remat_tails:
             return self._apply_remat_tails(params, x, prefix, ctx, start)
         return self._run(params, x, prefix, ctx, start, len(self.layers))
@@ -412,6 +417,49 @@ class Sequential(Layer):
             x = jax.checkpoint(seg)(params, x)
             i = j
         return x
+
+
+def run_block_remat(seq, params, x, prefix, ctx, lo=0, hi=None):
+    """Run ``seq.layers[lo:hi)`` with each maximal run of primitive layers
+    under one ``jax.checkpoint``.
+
+    Stronger than the tail remat (`Sequential._apply_remat_tails`, which keeps
+    every conv OUTPUT): here only each run's INPUT survives to the backward
+    pass — the convs themselves are recomputed. At HR resolutions the conv
+    outputs are the dominant HBM residuals, so this trades one extra forward
+    conv pass for the largest possible activation-byte reduction
+    (PERF.md round-2 plan #1b). Composite layers (ResnetBlock, U-Net levels)
+    run OUTSIDE the checkpoint and self-handle via `Sequential.apply` with
+    `ctx.remat_blocks` still set, so U-Net levels checkpoint their pre-/post-
+    submodule spans independently (no nested whole-net recompute). BatchNorm2d
+    is a barrier: its `ctx.stats` writes must not trace inside a
+    rematerialized region (same rule as the tail remat).
+    """
+    import dataclasses
+
+    if hi is None:
+        hi = len(seq.layers)
+    # inside a checkpointed segment both remat modes are already satisfied;
+    # stripping them keeps nested composites (SR-head ResnetBlocks reached
+    # through an outer segment) from double-checkpointing
+    inner = dataclasses.replace(ctx, remat_blocks=False, remat_tails=False)
+    i = lo
+    while i < hi:
+        if not isinstance(seq.layers[i], _REMAT_PRIMS):
+            # composite (self-handles) or BatchNorm barrier
+            x = seq._run(params, x, prefix, ctx, i, i + 1)
+            i += 1
+            continue
+        j = i
+        while j < hi and isinstance(seq.layers[j], _REMAT_PRIMS):
+            j += 1
+
+        def seg(p, y, lo_=i, hi_=j):
+            return seq._run(p, y, prefix, inner, lo_, hi_)
+
+        x = jax.checkpoint(seg)(params, x)
+        i = j
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -1331,6 +1379,15 @@ class Dropout(Layer):
 # ---------------------------------------------------------------------------
 # Norm-layer factory (mirrors get_norm_layer in both reference lineages)
 # ---------------------------------------------------------------------------
+
+
+# Side-effect-free layers whose runs `run_block_remat` may place under
+# jax.checkpoint. BatchNorm2d is deliberately absent (ctx.stats sink);
+# composite layers (ResnetBlock / U-Net levels, defined in networks.py)
+# are absent so they self-handle with per-level segments.
+_REMAT_PRIMS = (Conv2d, ConvTranspose2d, InstanceNorm2d, GroupNorm,
+                ReLU, LeakyReLU, Tanh, ReflectionPad2d, ReplicationPad2d,
+                Upsample, Dropout, Identity)
 
 
 def get_norm_layer(norm_type, lineage="pix2pix"):

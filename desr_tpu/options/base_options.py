@@ -112,6 +112,16 @@ class BaseOptions:
         parser.add_argument("--no_remat_tails", dest="remat_tails",
                             action="store_false",
                             help="disable the scoped tail remat (A/B switch)")
+        parser.add_argument("--remat_blocks", action="store_true",
+                            help="block-scoped remat: checkpoint each run of "
+                                 "conv/norm/act layers so only run INPUTS "
+                                 "survive to the backward pass (the convs are "
+                                 "recomputed; strictly fewer residual bytes "
+                                 "than --remat_tails at one extra forward conv "
+                                 "pass). U-Net levels checkpoint their pre/"
+                                 "post-submodule spans independently "
+                                 "(A/B switch; takes precedence over "
+                                 "--remat_tails)")
         parser.add_argument("--pallas_conv", dest="pallas_conv",
                             action="store_true", default=None,
                             help="route the 3x3 ring-base convs through the "
