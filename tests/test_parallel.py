@@ -181,3 +181,41 @@ def test_spatial_train_step_runs(capfd):
     shards = [np.asarray(s.data) for s in w.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(s, shards[0])
+
+
+def test_spatial_remat_blocks_matches_single_device():
+    """--remat_blocks under the 2x2 (data x spatial) mesh: jax.checkpoint
+    segments wrap spatial_anchor sharding constraints; the sharded loss must
+    still match the unsharded program exactly."""
+    from desr_tpu.models.i2d_model import I2DModel
+
+    argv = [
+        "--model_type", "I2D", "--name", "t_sp_rb",
+        "--checkpoints_dir", "/tmp/desr_sp_rb_ckpt",
+        "--Imagef_outf", "8", "--Imagef_basef", "8", "--Task_basef", "8",
+        "--batch_size", "2", "--compute_dtype", "float32",
+        "--num_devices", "4", "--spatial_devices", "2",
+        "--remat_blocks", "--no_remat_tails",
+    ]
+    opt = TrainOptions().parse(argv)
+    rng = np.random.default_rng(7)
+    batch = {
+        "A_i": rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32),
+        "B_i": rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32),
+        "A_d": rng.uniform(-1, 1, (2, 128, 128, 1)).astype(np.float32),
+        "B_d": rng.uniform(-1, 1, (2, 128, 128, 1)).astype(np.float32),
+    }
+
+    msp = I2DModel(opt)
+    msp.setup()
+    msp.set_input(batch)
+    msp.optimize_parameters(1)
+    loss_sp = float(msp.metrics["G"])
+    assert np.isfinite(loss_sp)
+
+    m1 = I2DModel(opt)
+    m1.mesh = make_mesh(jax.devices()[:1])
+    m1.setup()
+    m1.set_input(batch)
+    m1.optimize_parameters(1)
+    assert loss_sp == pytest.approx(float(m1.metrics["G"]), rel=1e-5)
