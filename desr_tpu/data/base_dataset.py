@@ -74,6 +74,21 @@ def _read_split(split_dir, fname, base_dir):
     return existing
 
 
+def draw_geo_params(rng, p_rot, h, w, crop_h, crop_w):
+    """Shared host/device augmentation parameter draws.
+
+    Consumes the rng EXACTLY like the original inline chain (gate draw,
+    angle draw only when gated, crop y/x draws, flip draw) so the host and
+    ``--device_aug`` paths produce identical parameter streams from the same
+    seed (reference chain: my_main_dataset.py:66-76).
+    """
+    did_rot = bool(rng.uniform() < p_rot)
+    angle = float(rng.uniform(-30, 30)) if did_rot else 0.0
+    y, x = T.random_crop_params(rng, h, w, crop_h, crop_w)
+    flip = bool(rng.uniform() < 0.5)
+    return did_rot, angle, y, x, flip
+
+
 class UnpairedFolderDataset:
     """Unpaired sampling: B sequential (index % B_size), A uniform random."""
 
@@ -131,6 +146,7 @@ class UnpairedFolderDataset:
         self.A_size = len(self.A_paths)
         self.B_size = len(self.B_paths)
         self._K_cache = {}
+        self._device_augmenter = None  # lazy jit, parent process only
 
     def item_rng(self, index):
         # pid in the entropy: forked loader workers inherit the same _draw
@@ -162,6 +178,64 @@ class UnpairedFolderDataset:
 
     def interiornet_K(self):
         return np.asarray([[600.0, 0, 320], [0, 600, 240], [0, 0, 1]])
+
+    # -- --device_aug: on-TPU geometric augmentation ------------------------
+
+    P_ROT = 0.9  # rotate gate probability; subclasses override
+
+    def device_aug_active(self):
+        """Subclasses widen this (e.g. main excludes --no_aug)."""
+        return self.train and getattr(self.opt, "device_aug", False)
+
+    def aug_geometry(self):
+        """(load_h, load_w, crop_h, crop_w) for the geometric chain."""
+        opt = self.opt
+        return opt.load_size_h, opt.load_size_w, opt.crop_size_h, opt.crop_size_w
+
+    def prepare_full(self, rng, depth, img, raw_img=False):
+        """Host half of --device_aug: decode/resize/normalize at load size,
+        draw the SAME parameter stream as the host chain, and emit the
+        (H, W, 4) img+depth stack plus its [angle, cy, cx, flip] row for the
+        on-device warp (ops/device_aug.py). The stack ships UNCLIPPED (bicubic
+        resize can overshoot [-1, 1]); the warp clips its output, exactly like
+        the host path's post-crop clip.
+
+        ``raw_img=True`` (I2D, on-device ColorJitter) keeps the image channels
+        in raw [0, 255] range — the device jitters then normalizes."""
+        lh, lw, ch, cw = self.aug_geometry()
+        if raw_img:
+            depth = T.normalize_depth_np(np.asarray(depth))
+            img = np.asarray(img, np.float32)
+        else:
+            depth, img = normalize_pair(depth, img)
+        img = T.resize(img, lh, lw, 3)
+        depth = T.resize(depth, lh, lw, 3)
+        _, angle, y, x, flip = draw_geo_params(rng, self.P_ROT, lh, lw, ch, cw)
+        full = np.concatenate([img, depth[..., None]], axis=-1).astype(np.float32)
+        return full, np.array([angle, y, x, float(flip)], np.float32)
+
+    def device_finish(self, arrays):
+        """Parent-process device-side completion of a --device_aug batch:
+        one fused rotate+crop+flip warp per domain (see ops/device_aug.py),
+        replacing A_full/B_full with the standard crop-size input keys."""
+        if "A_full" not in arrays:
+            return arrays
+        jitter = "A_jit" in arrays
+        if self._device_augmenter is None:
+            from desr_tpu.ops.device_aug import make_pair_augmenter
+
+            _, _, ch, cw = self.aug_geometry()
+            self._device_augmenter = make_pair_augmenter(ch, cw, jitter=jitter)
+        out = dict(arrays)
+        if jitter:
+            warped = self._device_augmenter(
+                out.pop("A_full"), out.pop("A_aug"), out.pop("A_jit"),
+                out.pop("B_full"), out.pop("B_aug"), out.pop("B_jit"))
+        else:
+            warped = self._device_augmenter(out.pop("A_full"), out.pop("A_aug"),
+                                            out.pop("B_full"), out.pop("B_aug"))
+        out.update(warped)
+        return out
 
     def __len__(self):
         return min(self.A_size, self.B_size)

@@ -51,11 +51,17 @@ def collate(samples):
 class DataLoader:
     def __init__(self, dataset, batch_size=1, shuffle=True, num_threads=4,
                  max_dataset_size=2 ** 31, drop_last=False, seed=0,
-                 device_put_fn=None):
+                 device_put_fn=None, device_finish_fn=None):
         """``device_put_fn`` (e.g. ``model.shard``) enables host->device
         double-buffering: the (async) device transfer of a batch is dispatched
         the moment its host decode completes — while the device is still
-        executing the previous step — instead of at ``set_input`` time."""
+        executing the previous step — instead of at ``set_input`` time.
+
+        ``device_finish_fn`` (e.g. ``dataset.device_finish``) runs on the
+        transferred arrays in the parent process — the --device_aug hook that
+        turns full-size tensors + parameter rows into cropped model inputs
+        with one on-device warp (also dispatched async, so it overlaps the
+        in-flight step exactly like the transfer)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -63,6 +69,7 @@ class DataLoader:
         self.max_dataset_size = max_dataset_size
         self.drop_last = drop_last
         self.device_put_fn = device_put_fn
+        self.device_finish_fn = device_finish_fn
         self._rng = np.random.default_rng(seed)
         self._pool = None
 
@@ -104,10 +111,16 @@ class DataLoader:
         # jax.device_put is async: dispatching here (right after host decode)
         # overlaps the transfer with the in-flight device step. Non-array
         # values (path strings) stay host-side.
+        if self.device_put_fn is None and self.device_finish_fn is None:
+            return host_batch
+        arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
         if self.device_put_fn is not None:
-            arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
-            return {**host_batch, **self.device_put_fn(arrays)}
-        return host_batch
+            arrays = self.device_put_fn(arrays)
+        if self.device_finish_fn is not None:
+            arrays = self.device_finish_fn(arrays)
+        out = {k: v for k, v in host_batch.items() if not isinstance(v, np.ndarray)}
+        out.update(arrays)
+        return out
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._batches()
@@ -137,6 +150,9 @@ def create_dataset(opt, custom=None, stage="train", device_put_fn=None):
     dataset = custom(opt, stage=stage)
     print(f"dataset [{type(dataset).__name__}] was created")
     bs = opt.batch_size if stage == "train" else opt.batch_size_val
+    finish_fn = None
+    if getattr(opt, "device_aug", False) and stage == "train":
+        finish_fn = getattr(dataset, "device_finish", None)
     return DataLoader(
         dataset,
         batch_size=bs,
@@ -145,4 +161,5 @@ def create_dataset(opt, custom=None, stage="train", device_put_fn=None):
         max_dataset_size=getattr(opt, "max_dataset_size", 2 ** 31),
         seed=getattr(opt, "seed", 0),
         device_put_fn=device_put_fn,
+        device_finish_fn=finish_fn,
     )

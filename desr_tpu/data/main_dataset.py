@@ -13,10 +13,18 @@ from __future__ import annotations
 import numpy as np
 
 from desr_tpu.data import transforms as T
-from desr_tpu.data.base_dataset import UnpairedFolderDataset, load_image, normalize_pair
+from desr_tpu.data.base_dataset import (UnpairedFolderDataset, draw_geo_params,
+                                        load_image, normalize_pair)
 
 
 class MainDataset(UnpairedFolderDataset):
+    P_ROT = 0.9  # my_main_dataset.py:66
+
+    def device_aug_active(self):
+        # --no_aug is pad+flip only: no warp to offload
+        return (self.train and not self.opt.no_aug
+                and getattr(self.opt, "device_aug", False))
+
     def _transform_pair(self, rng, depth, img):
         opt = self.opt
         depth, img = normalize_pair(depth, img)
@@ -29,15 +37,15 @@ class MainDataset(UnpairedFolderDataset):
                 if rng.uniform() < 0.5:
                     img, depth = T.hflip(img), T.hflip(depth)
             else:
-                if rng.uniform() < 0.9:
-                    angle = float(rng.uniform(-30, 30))
+                did_rot, angle, y, x, flip = draw_geo_params(
+                    rng, self.P_ROT, opt.load_size_h, opt.load_size_w,
+                    opt.crop_size_h, opt.crop_size_w)
+                if did_rot:
                     img = T.rotate(img, angle)
                     depth = T.rotate(depth, angle)
-                y, x = T.random_crop_params(rng, opt.load_size_h, opt.load_size_w,
-                                            opt.crop_size_h, opt.crop_size_w)
                 img = T.crop(img, y, x, opt.crop_size_h, opt.crop_size_w)
                 depth = T.crop(depth, y, x, opt.crop_size_h, opt.crop_size_w)
-                if rng.uniform() < 0.5:
+                if flip:
                     img, depth = T.hflip(img), T.hflip(depth)
         else:
             img = T.pad_if_needed(img, 512, 640)
@@ -62,12 +70,17 @@ class MainDataset(UnpairedFolderDataset):
         B_depth = self.load_depth(B_path, "B")
         A_img = load_image(self.A_add_paths[index_A])[..., :3].astype(np.float32)
         B_img = load_image(self.B_add_paths[index_B])[..., :3].astype(np.float32)
-        A_d, A_i = self._transform_pair(rng, A_depth, A_img)
-        B_d, B_i = self._transform_pair(rng, B_depth, B_img)
         K_B = self.get_intrinsics(B_path)
         K_A = self.interiornet_K() if self.opt.interiornet else self.get_intrinsics(A_path)
         crop_A, crop_B = self.crop_boxes()
-        return {"A_i": A_i, "B_i": B_i, "A_d": A_d, "B_d": B_d,
-                "A_paths": str(A_path), "B_paths": str(B_path),
+        meta = {"A_paths": str(A_path), "B_paths": str(B_path),
                 "K_A": K_A.astype(np.float32), "K_B": K_B.astype(np.float32),
                 "crop_A": crop_A, "crop_B": crop_B}
+        if self.device_aug_active():
+            A_full, A_aug = self.prepare_full(rng, A_depth, A_img)
+            B_full, B_aug = self.prepare_full(rng, B_depth, B_img)
+            return {"A_full": A_full, "A_aug": A_aug,
+                    "B_full": B_full, "B_aug": B_aug, **meta}
+        A_d, A_i = self._transform_pair(rng, A_depth, A_img)
+        B_d, B_i = self._transform_pair(rng, B_depth, B_img)
+        return {"A_i": A_i, "B_i": B_i, "A_d": A_d, "B_d": B_d, **meta}

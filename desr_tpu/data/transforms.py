@@ -82,16 +82,31 @@ def hflip(img):
     return np.ascontiguousarray(img[:, ::-1])
 
 
-def color_jitter(rng, img_u8, brightness=0.1, contrast=0.1, saturation=0.1, hue=0.05):
-    """torchvision-style ColorJitter on a uint8 RGB image
-    (data/my_I2D_dataset.py:212-214). Factors are sampled uniformly from
-    [1-x, 1+x] (hue from [-hue, hue]) and applied in random order."""
-    img = img_u8.astype(np.float32)
-    ops = []
+def draw_jitter_params(rng, brightness=0.1, contrast=0.1, saturation=0.1, hue=0.05):
+    """ColorJitter parameter draws, shared by the host chain and --device_aug
+    (the on-device jitter in ops/device_aug.py) so both paths consume the rng
+    identically: 4 factor uniforms, then the op-order permutation."""
     b = float(rng.uniform(1 - brightness, 1 + brightness))
     c = float(rng.uniform(1 - contrast, 1 + contrast))
     s = float(rng.uniform(1 - saturation, 1 + saturation))
     hshift = float(rng.uniform(-hue, hue))
+    order = rng.permutation(4)
+    return b, c, s, hshift, order
+
+
+def color_jitter(rng, img_u8, brightness=0.1, contrast=0.1, saturation=0.1, hue=0.05):
+    """torchvision-style ColorJitter on a uint8 RGB image
+    (data/my_I2D_dataset.py:212-214). Factors are sampled uniformly from
+    [1-x, 1+x] (hue from [-hue, hue]) and applied in random order."""
+    b, c, s, hshift, order = draw_jitter_params(
+        rng, brightness, contrast, saturation, hue)
+    return apply_jitter(img_u8, b, c, s, hshift, order)
+
+
+def apply_jitter(img_u8, b, c, s, hshift, order):
+    """Apply drawn ColorJitter parameters (host path / --device_aug fallback
+    for images whose raw size differs from the load size)."""
+    img = img_u8.astype(np.float32)
 
     def do_brightness(x):
         return np.clip(x * b, 0, 255)
@@ -111,7 +126,6 @@ def color_jitter(rng, img_u8, brightness=0.1, contrast=0.1, saturation=0.1, hue=
         return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
 
     ops = [do_brightness, do_contrast, do_saturation, do_hue]
-    order = rng.permutation(len(ops))
     for i in order:
         img = ops[i](img)
     return img
