@@ -186,6 +186,37 @@ def test_main_no_aug_keeps_host_path(tmp_path):
     assert "A_full" not in item and "A_i" in item
 
 
+def test_device_finish_composes_with_sharded_put(tmp_path):
+    # the loader dispatches device_put (model.shard: batch sharded over the
+    # 8-device data mesh) BEFORE device_finish — the warp must accept sharded
+    # inputs and its outputs must feed a sharded train step unchanged
+    import jax
+
+    from desr_tpu.parallel.mesh import make_mesh, shard_batch
+
+    dirs, intr = _write_fixtures(str(tmp_path), hw=(240, 320))
+    opt_host = _opt(str(tmp_path), dirs, intr, "main")
+    opt_dev = _opt(str(tmp_path), dirs, intr, "main", extra=("--device_aug",))
+    from desr_tpu.data.loader import collate
+    from desr_tpu.data.main_dataset import MainDataset
+
+    mesh = make_mesh()
+    ds_host = MainDataset(opt_host, stage="train")
+    ds_dev = MainDataset(opt_dev, stage="train")
+    batch = collate([ds_dev[i] for i in range(8)])
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    finished = ds_dev.device_finish(shard_batch(arrays, mesh))
+    want = collate([ds_host[i] for i in range(8)])
+    for k in ("A_i", "A_d", "B_i", "B_d"):
+        got = np.asarray(finished[k])
+        assert got.shape == np.asarray(want[k]).shape
+        assert np.abs(got - want[k]).max() < ROT_TOL, k
+        # outputs keep the data sharding (leading axis split over 8 devices)
+        shards = [s.data.shape for s in finished[k].addressable_shards]
+        assert all(s[0] == 1 for s in shards), (k, shards)
+    jax.clear_caches()
+
+
 def test_loader_integration_device_aug(tmp_path):
     # create_dataset wires device_finish: batches come out with standard keys
     dirs, intr = _write_fixtures(str(tmp_path), hw=(240, 320))
