@@ -122,7 +122,9 @@ def apply_jitter(img_u8, b, c, s, hshift, order):
 
     def do_hue(x):
         hsv = cv2.cvtColor(x.astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.float32)
-        hsv[..., 0] = (hsv[..., 0] + hshift * 180.0) % 180.0
+        # fp32 shift arithmetic, matching the --device_aug jitter exactly —
+        # float64 here would flip the uint8 H truncation on ~1e-5 of pixels
+        hsv[..., 0] = (hsv[..., 0] + np.float32(hshift) * np.float32(180.0)) % np.float32(180.0)
         return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
 
     ops = [do_brightness, do_contrast, do_saturation, do_hue]

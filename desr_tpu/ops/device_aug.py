@@ -1,25 +1,36 @@
-"""On-device geometric augmentation: one fused bilinear warp per sample.
+"""On-device geometric augmentation (ColorJitter + rotate/crop/flip).
 
 The reference augments on the host with an albumentations chain —
 Rotate(±30°) -> RandomCrop -> HFlip (data/my_main_dataset.py:55-84,
-my_I2D_dataset.py:87-102) — which PERF.md measures at ~16 pairs/sec per CPU
+my_I2D_dataset.py:87-102) — which PERF.md measures at ~26 pairs/sec per CPU
 core, far below what one chip consumes (100+ pairs/sec at the I2D stage).
-Under ``--device_aug`` the host keeps decode + deterministic resize (+
-ColorJitter for I2D) and ships the full load-size tensors; the rotate, crop
-and flip COMPOSE into a single affine map evaluated once per output pixel as
-a 4-tap bilinear gather at crop resolution — no intermediate rotated canvas
-is ever materialized, and the work rides the accelerator instead of the
-loader cores.
+Under ``--device_aug`` the host keeps decode + deterministic resize and ships
+load-size tensors; jitter, rotation, crop and flip run on the accelerator.
+
+TPU-NATIVE DESIGN (the gather lesson): the obvious warp — a 4-tap bilinear
+gather per output pixel — runs at SECONDS per batch on TPU (measured 7.6 s
+for 12 pairs at the I2D shape: per-pixel gathers execute on the scalar core;
+the CLAUDE.md "avoid integer-array indexing" pitfall). Rotation is instead
+the classic PAETH THREE-SHEAR decomposition R = Shx(-tan(t/2)) Shy(sin t)
+Shx(-tan(t/2)): each pass shifts whole LINES by per-line fractional offsets —
+one vmapped ``lax.dynamic_slice`` (a gather of ~2-5 KB contiguous slices,
+which TPUs do at bandwidth) plus a 2-tap blend. Crop is a dynamic_slice;
+flip a reverse; ColorJitter pure elementwise fp32/int32 (the cv2 fixed-point
+tables are computed arithmetically, not gathered).
 
 Parameter LAWS are identical to the host path (desr_tpu/data/base_dataset.py
-``draw_geo_params`` is shared by both), so the augmentation distribution is
-unchanged. Numerics: crop/flip-only samples are bit-exact; rotated samples
-match cv2.warpAffine within fp32 rounding (~2e-4 on [-1, 1] data, measured in
-tests/test_device_aug.py — cv2's 5-bit fixed-point interpolation tables apply
-only to uint8 inputs; for float32 it uses exact float weights, as do we).
-Border semantics match albumentations 0.4.6: BORDER_REFLECT_101 via a mirror
-fold of the sample coordinates (reflection is a grid isometry, so folding
-coordinates equals folding taps).
+``draw_geo_params`` / transforms.draw_jitter_params are shared), so the
+augmentation distribution is unchanged. Numerics vs the host chain:
+crop/flip-only samples are bit-exact (zero shear shifts reduce to identity
+slices); ColorJitter matches within 1 uint8 LSB except isolated pixels
+(<1e-4) where fp32 reduction-order differences flip the hue uint8
+truncation (bounded by the H-step's RGB slope, ~8.5/255); ROTATED samples use the
+three-shear resampling kernel instead of cv2's direct bilinear — the same
+rotation map (validated: interior max |diff| < 4e-3 on smooth images) with a
+different interpolation kernel, a deviation that only appears at pixel-level
+noise frequencies (documented; oracle-tested against a numpy reference of the
+same algorithm in tests/test_device_aug.py). Borders: REFLECT_101 per shear
+pass (the host chain reflects once in the unsheared frame).
 """
 
 from __future__ import annotations
@@ -29,58 +40,94 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _mirror(c, n):
-    """Fold continuous coordinates into [0, n-1] with REFLECT_101 semantics."""
-    period = 2.0 * (n - 1.0)
-    c = jnp.abs(c) % period
-    return jnp.minimum(c, period - c)
+_MAX_ANGLE_DEG = 30.0  # both host chains draw from U[-30, 30]
+
+
+_SHEAR_TILE = 16
+
+
+def _shear_lines(canvas, shifts, pad, max_slope):
+    """Per-line 1-D resample: out[l, t] = canvas[l, t + shifts[l]] (bilinear).
+
+    canvas (L, M, C); shifts (L,) float with |shifts| < pad, AFFINE in l with
+    |d shifts / dl| <= max_slope (the shear structure). A vmapped
+    dynamic_slice per LINE lowers to a serial while loop on TPU (measured
+    72 ms device / exec at the I2D shape — xplane profile), so lines are
+    processed in TILES of 16: within a tile the shifts span at most
+    max_slope*15 + 1, so ONE dynamic_slice per tile (at the tile's floored
+    minimum shift) plus a fused weighted sum over K+1 STATIC slices (the
+    per-line 2-tap hat weights select the right pair) reproduces the exact
+    per-line bilinear sample with ~L/16 loop iterations and no gathers.
+    REFLECT_101 border via a static jnp.pad.
+    """
+    L, M, C = canvas.shape
+    tile = _SHEAR_TILE
+    n_tiles = -(-L // tile)
+    Lp = n_tiles * tile
+    if Lp != L:
+        canvas = jnp.pad(canvas, ((0, Lp - L), (0, 0), (0, 0)))
+        # edge-pad (NOT zero): a zero shift in the last tile would corrupt
+        # the tile's floored-minimum base and zero out the real lines' hats
+        shifts = jnp.pad(shifts, (0, Lp - L), mode="edge")
+    K = int(np.ceil(max_slope * (tile - 1))) + 1
+    # pad by an extra K+1 so the slice window (which extends K+1 beyond the
+    # per-tile base) never hits the array bound — dynamic_slice CLAMPS
+    # out-of-range starts silently, shifting the whole window
+    pad_eff = pad + K + 1
+    padded = jnp.pad(canvas, ((0, 0), (pad_eff, pad_eff), (0, 0)), mode="reflect")
+    w_pad = M + 2 * pad_eff
+    win = M + K + 1
+    padded = padded.reshape(n_tiles, tile, w_pad, C)
+    shifts = shifts.reshape(n_tiles, tile)
+    base = jnp.floor(jnp.min(shifts, axis=1))  # (n_tiles,) integral
+    rel = shifts - base[:, None]  # in [0, K)
+    starts = (base + pad_eff).astype(jnp.int32)
+    window = jax.vmap(
+        lambda blk, s: jax.lax.dynamic_slice(blk, (0, s, 0), (tile, win, C))
+    )(padded, starts)
+    j = jnp.arange(K + 1, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - j))  # (n_tiles, tile, K+1)
+    out = w[:, :, 0, None, None] * window[:, :, 0:M]
+    for jj in range(1, K + 1):
+        out = out + w[:, :, jj, None, None] * window[:, :, jj:jj + M]
+    return out.reshape(Lp, M, C)[:L]
+
+
+def paeth_rotate(src, angle_deg):
+    """Rotate (H, W, C) about cv2's center (w/2, h/2) via three shears.
+
+    Same rotation map as the host chain's cv2.getRotationMatrix2D warp
+    (R^{-1} = Shx(a) Shy(b) Shx(a), a = -tan(angle/2), b = sin(angle) —
+    composition verified against cv2 to <4e-3 interior error on smooth
+    images); resampling kernel is the per-pass 2-tap blend instead of direct
+    bilinear. angle_deg may be a traced scalar; angle 0 is the bit-exact
+    identity (zero shifts select the unpadded lines with weight 0).
+    """
+    h, w = src.shape[0], src.shape[1]
+    th = angle_deg * (jnp.pi / 180.0)
+    a = -jnp.tan(th / 2.0)
+    b = jnp.sin(th)
+    y = jnp.arange(h, dtype=jnp.float32) - h / 2.0
+    x = jnp.arange(w, dtype=jnp.float32) - w / 2.0
+    tmax = np.tan(np.deg2rad(_MAX_ANGLE_DEG) / 2.0)
+    smax = np.sin(np.deg2rad(_MAX_ANGLE_DEG))
+    pad_x = int(np.ceil(tmax * (h / 2.0))) + 2
+    pad_y = int(np.ceil(smax * (w / 2.0))) + 2
+    out = _shear_lines(src, a * y, pad_x, tmax)
+    out = _shear_lines(out.swapaxes(0, 1), b * x, pad_y, smax).swapaxes(0, 1)
+    return _shear_lines(out, a * y, pad_x, tmax)
 
 
 def warp_affine_crop(src, angle_deg, cy, cx, flip, out_h, out_w):
-    """Sample ``hflip?(crop(rotate(src, angle)))`` in one bilinear pass.
-
-    src: (H, W, C) float32. angle/cy/cx/flip: scalars (flip: 0.0 or 1.0).
-    Matches the host chain T.rotate (cv2 center (w/2, h/2), REFLECT_101,
-    bilinear — albumentations 0.4.6 conventions) -> T.crop(cy, cx) ->
-    T.hflip, evaluated as dst(x,y) = src(R^{-1}((x', y') - c) + c) with
-    x' = cx + (out_w-1-x if flip else x), y' = cy + y.
-    """
-    h, w = src.shape[0], src.shape[1]
-    ang = angle_deg * (jnp.pi / 180.0)
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
-    ccx, ccy = w / 2.0, h / 2.0
-
-    yo = jnp.arange(out_h, dtype=jnp.float32)[:, None]
-    xo = jnp.arange(out_w, dtype=jnp.float32)[None, :]
-    x1 = jnp.where(flip > 0.5, (out_w - 1.0) - xo, xo) + cx - ccx
-    y1 = yo + cy - ccy
-    # inverse of cv2.getRotationMatrix2D's forward map (linear part
-    # [[cos, sin], [-sin, cos]]): sample-coord rotation by -angle
-    xs = _mirror(cos * x1 - sin * y1 + ccx, w)
-    ys = _mirror(sin * x1 + cos * y1 + ccy, h)
-
-    x0 = jnp.floor(xs)
-    y0 = jnp.floor(ys)
-    fx = (xs - x0)[..., None]
-    fy = (ys - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.minimum(x0i + 1, w - 1)
-    y1i = jnp.minimum(y0i + 1, h - 1)
-
-    flat = src.reshape(h * w, -1)
-
-    def tap(yi, xi):
-        return jnp.take(flat, (yi * w + xi).reshape(-1), axis=0).reshape(
-            out_h, out_w, flat.shape[1])
-
-    v00 = tap(y0i, x0i)
-    v01 = tap(y0i, x1i)
-    v10 = tap(y1i, x0i)
-    v11 = tap(y1i, x1i)
-    top = v00 + (v01 - v00) * fx
-    bot = v10 + (v11 - v10) * fx
-    return top + (bot - top) * fy
+    """``hflip?(crop(rotate(src, angle)))`` — the host chain's operation
+    order (T.rotate -> T.crop(cy, cx) -> T.hflip), with the rotation done by
+    ``paeth_rotate`` and crop as a dynamic_slice. All params may be traced
+    scalars (flip: 0.0 or 1.0; cy/cx integral floats)."""
+    rot = paeth_rotate(src, angle_deg)
+    out = jax.lax.dynamic_slice(
+        rot, (jnp.asarray(cy).astype(jnp.int32), jnp.asarray(cx).astype(jnp.int32), 0),
+        (out_h, out_w, src.shape[2]))
+    return jnp.where(flip > 0.5, out[:, ::-1], out)
 
 
 def warp_batch(src, params, out_h, out_w):
@@ -104,27 +151,34 @@ def warp_batch(src, params, out_h, out_w):
 _HSV_SHIFT = 12
 
 
-def _hsv_tables():
-    i = np.arange(256, dtype=np.float64)
-    with np.errstate(divide="ignore"):
-        sdiv = np.rint((255 << _HSV_SHIFT) / np.maximum(i, 1))
-        hdiv = np.rint((180 << _HSV_SHIFT) / (6.0 * np.maximum(i, 1)))
-    sdiv[0] = 0.0
-    hdiv[0] = 0.0
-    return jnp.asarray(sdiv, jnp.int32), jnp.asarray(hdiv, jnp.int32)
-
-
 def _rgb2hsv_u8(r, g, b):
-    """cv2.COLOR_RGB2HSV on uint8 (int32 in/out): H in [0,180), S/V in [0,256)."""
-    sdiv, hdiv = _hsv_tables()
+    """cv2.COLOR_RGB2HSV on uint8 (int32 in/out): H in [0,180), S/V in [0,256).
+
+    cv2's sdiv/hdiv fixed-point tables (sdiv[i] = rint((255<<12)/i),
+    hdiv[i] = rint((180<<12)/(6i))) are computed ARITHMETICALLY in fp32
+    instead of gathered — per-pixel table lookups are scalar-core gathers on
+    TPU (the CLAUDE.md pitfall) and dominated the augmenter's runtime. The
+    fp32 division is exactly the table: the true quotients are never at a
+    .5 rounding boundary (2*1044480 = 2^13*255 and 2*122880 = 2^13*30 admit
+    no odd divisor <= 255, so q = k+0.5 is impossible), and the boundary
+    margin >= q/(2*1044480) exceeds the <= q*2^-24 division error 8x over.
+    """
     v = jnp.maximum(jnp.maximum(r, g), b)
     vmin = jnp.minimum(jnp.minimum(r, g), b)
     diff = v - vmin
     half = 1 << (_HSV_SHIFT - 1)
-    s = (diff * jnp.take(sdiv, v) + half) >> _HSV_SHIFT
+    sdiv_v = jnp.where(
+        v > 0, jnp.rint(jnp.float32(255 << _HSV_SHIFT)
+                        / jnp.maximum(v, 1).astype(jnp.float32)), 0.0
+    ).astype(jnp.int32)
+    hdiv_d = jnp.where(
+        diff > 0, jnp.rint(jnp.float32((180 << _HSV_SHIFT) // 6)
+                           / jnp.maximum(diff, 1).astype(jnp.float32)), 0.0
+    ).astype(jnp.int32)
+    s = (diff * sdiv_v + half) >> _HSV_SHIFT
     h_num = jnp.where(v == r, g - b,
                       jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
-    h = (h_num * jnp.take(hdiv, diff) + half) >> _HSV_SHIFT
+    h = (h_num * hdiv_d + half) >> _HSV_SHIFT
     return jnp.where(h < 0, h + 180, h), s, v
 
 

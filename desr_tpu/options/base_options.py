@@ -114,12 +114,13 @@ class BaseOptions:
                             help="disable the scoped tail remat (A/B switch)")
         parser.add_argument("--device_aug", action="store_true",
                             help="run the augmentation (ColorJitter + rotate/"
-                                 "crop/flip) ON DEVICE as one fused jitter + "
-                                 "bilinear warp per sample; the host keeps "
-                                 "decode + resize. Same parameter stream as "
-                                 "the host chain; pixels within 1 uint8 LSB "
-                                 "(geometric: ~2e-4). Doubles the per-core "
-                                 "host feed capacity (PERF.md)")
+                                 "crop/flip) ON DEVICE; the host keeps decode "
+                                 "+ resize. Same parameter stream as the host "
+                                 "chain; crop/flip bit-exact, jitter within 1 "
+                                 "uint8 LSB, rotation via the gather-free "
+                                 "Paeth three-shear resampler (same map, "
+                                 "different kernel than cv2 — PERF.md). "
+                                 "Doubles the per-core host feed capacity")
         parser.add_argument("--remat_blocks", action="store_true",
                             help="block-scoped remat: checkpoint each run of "
                                  "conv/norm/act layers so only run INPUTS "

