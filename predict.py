@@ -14,12 +14,17 @@ Usage:
     python predict.py --name <exp> --checkpoints_dir checkpoints \
         --input_depth .../depth --input_img .../img --output out/ \
         [--SR] [--batch_size 4] [--compute_dtype bfloat16]
+
+AOT deployment (desr_tpu/serving.py): ``--export DIR`` serializes the pruned
+serving graph + weights at the input geometry; ``--from_export DIR`` serves
+from such an artifact with no model classes / options / .pth parsing at all.
 """
 
 from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 import sys
 
@@ -54,6 +59,14 @@ def main(argv=None):
                         help="shard the image H axis over this many chips "
                              "(data x spatial mesh): chips cooperate on one "
                              "large frame instead of one frame per chip")
+    parser.add_argument("--export", default=None, metavar="DIR",
+                        help="AOT-export the serving graph+weights for the "
+                             "input geometry to DIR (jax.export artifact; see "
+                             "desr_tpu/serving.py) instead of predicting")
+    parser.add_argument("--from_export", default=None, metavar="DIR",
+                        help="serve from an exported artifact: no options "
+                             "system, model classes or .pth parsing — just "
+                             "the serialized graph + npz weights")
     parser.add_argument("--net_args", nargs=argparse.REMAINDER, default=[],
                         help="extra net-architecture flags forwarded to the model")
     args = parser.parse_args(argv)
@@ -66,36 +79,52 @@ def main(argv=None):
     from desr_tpu.data.transforms import normalize_depth_np, normalize_image_np
     from desr_tpu.utils.util import save_uint16_png
 
-    model_argv = [
-        "--model_type", "main", "--name", args.name,
-        "--checkpoints_dir", args.checkpoints_dir,
-        "--use_image_for_trans", "--use_masked",
-        "--compute_dtype", args.compute_dtype,
-        "--batch_size", str(args.batch_size),
-        "--epoch", str(args.epoch), "--continue_train",
-        "--spatial_devices", str(args.spatial_devices),
-        "--num_devices", str(args.num_devices),
-        # serving only consumes the real branch: with the branches UNbatched
-        # (separate shared-weight applies instead of one concat-2B call),
-        # returning only pred_real lets XLA dead-code-eliminate the entire
-        # synthetic branch — translator + syn guidance + syn fusion head
-        "--no_batched_branches",
-    ] + (["--SR"] if args.SR else []) + list(args.net_args)
-    opt = TrainOptions().parse(model_argv)
-
-    if args.SR:
-        from desr_tpu.models.main_sr_model import MainSRModel as Model
+    if args.from_export:
+        from desr_tpu.serving import load_serving
+        exp_fn, exp_params, manifest = load_serving(args.from_export)
+        args.SR = manifest["sr"]
+        exp_b, exp_h, exp_w = manifest["batch"]["A_d"][0][:3]
+        if args.batch_size != exp_b:
+            print(f"[from_export] batch_size -> {exp_b} (artifact geometry)",
+                  file=sys.stderr)
+            args.batch_size = exp_b
+        model = None
+        run = lambda batch: exp_fn(exp_params, batch, 0)
     else:
-        from desr_tpu.models.main_model import MainModel as Model
-    model = Model(opt)
-    model.setup()
-    forward = model._forward_fn()
-    key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
-    # return ONLY the real-branch prediction: XLA dead-code-eliminates the
-    # whole synthetic branch (translator G_A_d + pred_syn head) that the
-    # train-time forward computes for the loss zoo — roughly half the
-    # serving FLOPs — and the transfer pulls one tensor, not the full dict
-    fwd = jax.jit(lambda p, b, r: forward(p, b, r, False)[key])
+        exp_h = exp_w = None
+        model_argv = [
+            "--model_type", "main", "--name", args.name,
+            "--checkpoints_dir", args.checkpoints_dir,
+            "--use_image_for_trans", "--use_masked",
+            "--compute_dtype", args.compute_dtype,
+            "--batch_size", str(args.batch_size),
+            "--epoch", str(args.epoch), "--continue_train",
+            "--spatial_devices", str(args.spatial_devices),
+            # export records 1-device shardings; live serving uses the mesh
+            "--num_devices", "1" if args.export else str(args.num_devices),
+            # serving only consumes the real branch: with the branches UNbatched
+            # (separate shared-weight applies instead of one concat-2B call),
+            # returning only pred_real lets XLA dead-code-eliminate the entire
+            # synthetic branch — translator + syn guidance + syn fusion head
+            "--no_batched_branches",
+        ] + (["--SR"] if args.SR else []) + list(args.net_args)
+        opt = TrainOptions().parse(model_argv)
+
+        if args.SR:
+            from desr_tpu.models.main_sr_model import MainSRModel as Model
+        else:
+            from desr_tpu.models.main_model import MainModel as Model
+        model = Model(opt)
+        model.setup()
+        forward = model._forward_fn()
+        key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
+        # return ONLY the real-branch prediction: XLA dead-code-eliminates the
+        # whole synthetic branch (translator G_A_d + pred_syn head) that the
+        # train-time forward computes for the loss zoo — roughly half the
+        # serving FLOPs — and the transfer pulls one tensor, not the full dict
+        fwd = jax.jit(lambda p, b, r: forward(p, b, r, False)[key])
+        rng0 = jax.random.PRNGKey(0)
+        run = lambda batch: fwd(model.params, model.shard(batch), rng0)
 
     depth_paths = sorted(glob.glob(os.path.join(args.input_depth, "*")))
     img_paths = sorted(glob.glob(os.path.join(args.input_img, "*")))
@@ -103,9 +132,21 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
 
     K = np.array([[577.0, 0, 320], [0, 577, 240], [0, 0, 1]], np.float32)
-    rng = jax.random.PRNGKey(0)
     scale = 2 if args.SR else 1
     n_done = 0
+
+    def pad_frame(arr):
+        if exp_h is not None:  # exported artifact: fixed geometry
+            pads = [(0, 0)] * arr.ndim
+            for ax, target in ((0, exp_h), (1, exp_w)):
+                extra = target - arr.shape[ax]
+                if extra < 0:
+                    raise ValueError(
+                        f"frame {arr.shape[:2]} exceeds the exported geometry "
+                        f"({exp_h}x{exp_w}); re-export for this size")
+                pads[ax] = (extra // 2, extra - extra // 2)
+            return np.pad(arr, pads, mode="reflect"), pads
+        return pad_to_multiple(arr, 128)
 
     def decode_chunk(i):
         chunk_d = depth_paths[i : i + args.batch_size]
@@ -114,12 +155,15 @@ def main(argv=None):
         for dp, ip in zip(chunk_d, chunk_i):
             d = normalize_depth_np(load_depth_png(dp), args.max_distance)
             im = normalize_image_np(load_image(ip)[..., :3].astype(np.float32))
-            d, pads = pad_to_multiple(d, 128)
-            im, _ = pad_to_multiple(im, 128)
+            d, pads = pad_frame(d)
+            im, _ = pad_frame(im)
             depths.append(d[..., None])
             imgs.append(im)
             pad_infos.append(pads)
             stems.append(os.path.splitext(os.path.basename(dp))[0])
+        while args.from_export and len(depths) < args.batch_size:
+            depths.append(depths[-1])  # pad the tail chunk to the exported
+            imgs.append(imgs[-1])      # batch size; extras are not written
         b = len(depths)
         h, w = depths[0].shape[:2]
         batch = {
@@ -143,13 +187,25 @@ def main(argv=None):
             n_done += 1
         print(f"{n_done}/{len(depth_paths)} frames", file=sys.stderr)
 
+    if args.export:
+        from desr_tpu.serving import export_serving
+        batch, _, _ = decode_chunk(0)
+        key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
+        manifest = export_serving(
+            model, batch, args.export, key,
+            provenance={"name": args.name, "epoch": str(args.epoch),
+                        "net_args": list(args.net_args)})
+        print(f"exported serving artifact to {args.export}: "
+              f"{json.dumps(manifest['batch'])}")
+        return
+
     # 1-deep pipeline over jax's async dispatch: batch i is decoded and
     # dispatched BEFORE batch i-1's result is pulled, so host PNG decode +
     # uint16 writes overlap the device forward of the in-flight batch
     pending = None
     for i in range(0, len(depth_paths), args.batch_size):
         batch, pad_infos, stems = decode_chunk(i)
-        preds = fwd(model.params, model.shard(batch), rng)
+        preds = run(batch)
         if pending is not None:
             write_preds(np.asarray(pending[0]), pending[1], pending[2])
         pending = (preds, pad_infos, stems)
