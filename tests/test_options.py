@@ -9,6 +9,23 @@ def _parse(argv):
                                         "--name", "t_opt"])
 
 
+def test_compile_cache_flag_applies(tmp_path):
+    """--compile_cache_dir points JAX's persistent compilation cache there
+    (and '' disables the override); applied at parse so every entry point
+    inherits it."""
+    import jax
+
+    cache = str(tmp_path / "xla_cache")
+    _parse(["--model_type", "I2D", "--compile_cache_dir", cache])
+    assert jax.config.jax_compilation_cache_dir == cache
+    import os
+
+    assert os.path.isdir(cache)
+    # empty string: parse succeeds and leaves the config untouched
+    _parse(["--model_type", "I2D", "--compile_cache_dir", ""])
+    assert jax.config.jax_compilation_cache_dir == cache
+
+
 def test_translation_injects_gan_flags():
     opt = _parse(["--model_type", "translation"])
     # as-shipped: max_distance keeps the TrainOptions default (10); README
