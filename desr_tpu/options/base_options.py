@@ -264,6 +264,7 @@ class BaseOptions:
         compiled train steps across restarts (tools/probe_compile_cache.py:
         compile 1.01 s -> 0.16 s, process total 132.6 s -> 6.5 s).
         """
+        cache_dir = os.environ.get("DESR_COMPILE_CACHE_DIR", cache_dir)
         if not cache_dir:
             return
         import jax
