@@ -1,0 +1,54 @@
+"""Smoke test for tools/quality_eval.py — the train->serve->score chain.
+
+A 2-step run cannot learn; the test asserts the *chain* integrity (dataset
+gen -> main.py train -> predict.py serve -> metrics score) and the scene
+generator's contracts (learnable structure, holes present, all nine
+new_metrics keys finite where defined)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+
+
+def test_scene_generator_contracts():
+    import quality_eval as qe
+
+    rng = np.random.default_rng(0)
+    clean, rgb, noisy = qe.make_scene(rng, 64, 80)
+    assert clean.dtype == np.uint16 and rgb.dtype == np.uint8
+    assert clean.min() >= 600 and clean.max() <= 4800  # in-range mm
+    holes = noisy == 0
+    assert 0.005 < holes.mean() < 0.5  # holes present, not dominant
+    # degraded tracks clean outside holes (sensor noise, not garbage)
+    err = noisy[~holes].astype(np.float64) - clean[~holes]
+    assert abs(err.mean()) < 20 and err.std() < 80
+    # RGB carries geometric signal: shading correlates with depth gradient
+    assert rgb.std() > 5
+
+
+def test_quality_eval_chain(tmp_path, capsys):
+    import quality_eval as qe
+
+    res = qe.main([
+        "--root", str(tmp_path), "--epochs", "1", "--n_train", "4",
+        "--n_test", "2", "--batch_size", "2", "--width", "8",
+        "--hw", "128", "128", "--platform", "native",  # conftest already CPU
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out)["steps"] == res["steps"]  # printed ONE JSON line
+    for split in ("baseline", "trained"):
+        m = res[split]
+        assert set(m) >= {"rmse", "mae", "rmse_h", "rmse_d", "psnr", "ssim",
+                          "mae_h", "mae_d", "mse_v"}
+        for k, v in m.items():
+            assert np.isfinite(v), (split, k, v)
+    # the degraded input's hole error must be large (the task exists)
+    assert res["baseline"]["rmse_h"] > 500
+    # predictions were actually written and scored
+    assert len(os.listdir(os.path.join(str(tmp_path), "pred"))) == 2
