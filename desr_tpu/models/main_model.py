@@ -61,6 +61,8 @@ class MainModel(BaseModel):
     # (21.2 vs 22.8 pairs/s on v5e) while every other stage gains — see
     # --remat_tails help; MainSRModel flips this back to True
     _default_remat_tails = False
+    # --use_rec_as_real_input exists only in the SR stage (QUIRKS #31)
+    _supports_rec_input = False
 
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
@@ -128,6 +130,14 @@ class MainModel(BaseModel):
                 "the reference's non-image translation path requires netG_B_d, "
                 "which MainModel never defines (main_model.py:241-249); pass "
                 "--use_image_for_trans")
+        if getattr(opt, "use_rec_as_real_input", False) and not self._supports_rec_input:
+            # QUIRKS #31: the reference MainModel crashes here too — it calls
+            # self.netG_B_d (main_model.py:236-239) without ever defining it;
+            # only the SR stage defines G_B_d (main_sr_model.py:170-171)
+            raise NotImplementedError(
+                "--use_rec_as_real_input crashes the reference main stage "
+                "(undefined netG_B_d, main_model.py:236-239); it is only "
+                "supported with --SR")
 
         self._trainable_nets = ["Depth_f", "Task"]
 
@@ -351,7 +361,11 @@ class MainModel(BaseModel):
             g_train = {n: trains[n] for n in trainable_nets}
 
             def loss_fn(g_train_params):
-                full = {n: dict(trains[n], **auxs[n]) for n in model_names}
+                # start from params so frozen nets OUTSIDE model_names pass
+                # through (SR's never-checkpointed G_B_d, QUIRKS #31)
+                full = dict(params)
+                for n in model_names:
+                    full[n] = dict(trains[n], **auxs[n])
                 for n in trainable_nets:
                     full[n] = dict(g_train_params[n], **auxs[n])
                 f = forward(full, batch, use_rng, True)

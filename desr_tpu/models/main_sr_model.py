@@ -18,6 +18,15 @@ As-shipped quirks preserved (they affect the trained weights):
   tv_real_norm_old x2 (:455).
 - ``--use_D`` references a ``loss_G_pred`` that main_sr_model never computes
   (:466, no backward_features) — rejected with a clear error.
+- ``--use_rec_as_real_input`` defines a zoo-A ``netG_B_d`` (:170-171) that is
+  excluded from ``model_names`` (:137): it is never checkpoint-loaded, never
+  saved, and never optimized — the real branch is re-degraded through a
+  FROZEN RANDOM-INIT net (:263-265). The reference CRASHES on that line: it
+  feeds ``netG_A_d`` one pre-concatenated 4-channel tensor, but the
+  two-encoder Generator requires separate (depth, img) args
+  (translation_network.py:643 calls ``enc_img(None)`` -> TypeError). Fixed
+  here with the evident intent ``G_A_d(r2s, real_image)``; the
+  never-loaded/frozen G_B_d quirks are preserved (QUIRKS #31).
 """
 
 from __future__ import annotations
@@ -48,6 +57,7 @@ from desr_tpu.ops.resize import (
 
 class MainSRModel(MainModel):
     _default_remat_tails = True  # +10% at the SR shape (see --remat_tails help)
+    _supports_rec_input = True   # main_sr_model.py:170-171 defines netG_B_d
 
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
@@ -59,12 +69,47 @@ class MainSRModel(MainModel):
                 "--use_D in the SR model references loss_G_pred that the reference "
                 "never computes (main_sr_model.py:466); unsupported")
         super().__init__(opt)
+        if getattr(opt, "use_rec_as_real_input", False):
+            # --use_rec_as_real_input (main_sr_model.py:170-171): a zoo-A
+            # generator re-degrades the real branch before masking. QUIRKS
+            # #31: the reference leaves G_B_d out of model_names (:137), so
+            # it is never checkpoint-loaded/saved and never optimized — it
+            # runs frozen at random init (translation_input_d=4: the
+            # non-image path is gated above via --use_image_for_trans).
+            self.nets["G_B_d"] = networks.define_G(
+                4, 1, opt.ngf, opt.netG, opt.norm, not opt.no_dropout,
+                opt.init_type, opt.init_gain, opt.replace_transpose)
+
+    def init_params(self, seed=0):
+        super().init_params(seed)
+        if "G_B_d" in self.nets:
+            key = jax.random.PRNGKey(seed)
+            self.params["G_B_d"] = self.nets["G_B_d"].init(jax.random.fold_in(key, 97))
+
+    def save_networks(self, epoch):
+        # G_B_d is absent from the reference's model_names (main_sr_model.py:137):
+        # it is never written to (or read from) checkpoints
+        gbd = self.params.pop("G_B_d", None)
+        try:
+            super().save_networks(epoch)
+        finally:
+            if gbd is not None:
+                self.params["G_B_d"] = gbd
+
+    def load_networks(self, epoch):
+        gbd = self.params.pop("G_B_d", None)
+        try:
+            super().load_networks(epoch)
+        finally:
+            if gbd is not None:
+                self.params["G_B_d"] = gbd
 
     # override the whole forward/loss pipeline for the SR dataflow
     def _forward_fn(self):
         opt = self.opt
         dtype = self.compute_dtype
         g_a_d = self.nets["G_A_d"]
+        g_b_d = self.nets.get("G_B_d")  # --use_rec_as_real_input only
         i2d_f = self.nets["I2D_features"]
         i2d = self.nets["Image2Depth"]
         depth_f = self.nets["Depth_f"]
@@ -101,6 +146,21 @@ class MainSRModel(MainModel):
             syn2real = ga_ap(params["G_A_d"], batch["A_d"].astype(dtype),
                              syn_image)[..., 0].astype(jnp.float32)
 
+            if g_b_d is not None:
+                # --use_rec_as_real_input (main_sr_model.py:263-265): the real
+                # branch is re-degraded r2s = G_B_d(real_depth ++ real_image)
+                # then re-translated real_rec = G_A_d(r2s, real_image) before
+                # masking. Both nets are frozen (out of the optimizer); the
+                # hole/valid masks above stay on the ORIGINAL real_depth, and
+                # the loss tail still compares against the original (:394-398).
+                gb_ap = remat(lambda p, x: g_b_d.apply(p, x, ctx_f))
+                r2s = gb_ap(params["G_B_d"], jnp.concatenate(
+                    [batch["B_d"].astype(dtype), real_image], axis=-1))
+                real_input_depth = ga_ap(params["G_A_d"], r2s.astype(dtype),
+                                         real_image)[..., 0].astype(jnp.float32)
+            else:
+                real_input_depth = real_depth
+
             def guidance(image):
                 lr_img = resize_bicubic(image.astype(jnp.float32), lr_hw).astype(dtype)
                 feats = i2df_ap(params["I2D_features"], lr_img)
@@ -130,14 +190,14 @@ class MainSRModel(MainModel):
                 k1, k2 = jax.random.split(jax.random.fold_in(rng, 17))
                 gt_mask_real = DPT.random_rect_holes(k1, real_mask, n_max=n, p=p_real,
                                                      max_frac=10)
-                depth_masked = DPT.punch_holes(real_depth, gt_mask_real)
+                depth_masked = DPT.punch_holes(real_input_depth, gt_mask_real)
                 gt_mask_syn = DPT.random_rect_holes(k2, syn_mask, n_max=n, p=p_syn,
                                                     max_frac=10)
                 syn2real_masked = DPT.punch_holes(syn2real, gt_mask_syn)
             else:
                 gt_mask_real = jnp.ones_like(real_mask)
                 gt_mask_syn = jnp.ones_like(syn_mask)
-                depth_masked = real_depth
+                depth_masked = real_input_depth
                 syn2real_masked = syn2real
 
             real_pair = jnp.stack([depth_masked, real_dbi], axis=-1).astype(dtype)

@@ -255,7 +255,32 @@ class BaseOptions:
             f.write(message + "\n")
 
     @staticmethod
-    def apply_compile_cache(cache_dir):
+    def _host_cpu_tag():
+        """Short fingerprint of THIS host's CPU feature set.
+
+        XLA:CPU's cache key does NOT include the compile machine's features,
+        so a persistent-cache entry AOT-compiled on one host can be replayed
+        on a host lacking those ISA extensions and SIGILL (observed as
+        wall-to-wall 'Compile machine features ... doesn't match' warnings in
+        the 8-device dryrun artifact). Namespacing the CPU-backend cache by
+        host features makes cross-machine replay structurally impossible.
+        """
+        import hashlib
+        import platform
+
+        feats = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:  # x86 'flags' / arm64 'Features' of cpu 0
+                    if line.startswith(("flags", "Features")):
+                        feats = line
+                        break
+        except OSError:
+            pass
+        return hashlib.sha1((platform.machine() + feats).encode()).hexdigest()[:12]
+
+    @classmethod
+    def apply_compile_cache(cls, cache_dir):
         """Point JAX's persistent compilation cache at ``cache_dir``.
 
         Process-global, so applied once at option-parse time. The PJRT-level
@@ -263,12 +288,20 @@ class BaseOptions:
         compile options); on the tunneled axon TPU it replays the remotely
         compiled train steps across restarts (tools/probe_compile_cache.py:
         compile 1.01 s -> 0.16 s, process total 132.6 s -> 6.5 s).
+
+        When the effective backend is XLA:CPU (tests, dryruns, quality_eval),
+        the cache lives under a per-host ``cpu-<feature-hash>/`` subdirectory
+        — see _host_cpu_tag for why (machine-feature SIGILL hazard).
         """
         cache_dir = os.environ.get("DESR_COMPILE_CACHE_DIR", cache_dir)
         if not cache_dir:
             return
         import jax
 
+        platforms = (jax.config.jax_platforms
+                     or os.environ.get("JAX_PLATFORMS") or "")
+        if "cpu" in platforms.lower():
+            cache_dir = os.path.join(cache_dir, "cpu-" + cls._host_cpu_tag())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
 

@@ -245,6 +245,96 @@ def test_sr_loss_oracle(monkeypatch):
         _close(name, m[name], ref_val, **kw)
 
 
+def test_sr_use_rec_loss_oracle(monkeypatch):
+    """--use_rec_as_real_input (QUIRKS #31): the real branch is re-degraded
+    through frozen G_B_d -> G_A_d before masking (main_sr_model.py:263-265).
+    The reference AS-SHIPPED crashes on :265 (it hands the two-encoder
+    netG_A_d ONE concatenated 4-channel tensor; enc_img(None) TypeErrors at
+    translation_network.py:643) — so the oracle patches the evident intent,
+    G_A_d(r2s, real_image), onto the reference and verifies our loss graph
+    against that. Our G_B_d (random-init) is injected into the reference's
+    never-loaded net so both sides run identical weights."""
+    from tests.test_model_sr import make_opt, fake_batch
+    from desr_tpu.models.main_sr_model import MainSRModel
+
+    opt = make_opt()
+    opt.use_rec_as_real_input = True
+    batch = fake_batch(b=1)
+
+    ref_mod = load_reference_package("models.main_sr_model")
+    ref_tn = load_reference_package("models.translation_network")
+    orig_define_gen = ref_tn.define_Gen
+
+    def _cpu_define_gen(o, input_type="depth"):
+        o.gpu_ids = []
+        return orig_define_gen(o, input_type)
+
+    monkeypatch.setattr(ref_tn, "define_Gen", _cpu_define_gen)
+    ref = ref_mod.MainSRModel(_ref_opt(opt))
+
+    ours = MainSRModel(opt)
+    ours.init_params(seed=0)
+    assert "G_B_d" in ours.params  # defined under the flag
+    for name, net_attr in [("G_A_d", "netG_A_d"), ("I2D_features", "netI2D_features"),
+                           ("Image2Depth", "netImage2Depth"), ("Task", "netTask"),
+                           ("Depth_f", "netDepth_f"), ("G_B_d", "netG_B_d")]:
+        getattr(ref, net_attr).load_state_dict(_to_state(ours.params[name]), strict=True)
+
+    # intent shim: when main_sr_model.py:265 passes ONE 4-channel tensor,
+    # split it back into (depth, img) instead of crashing (see docstring)
+    gad = ref.netG_A_d
+
+    class _SplitCall(torch.nn.Module):
+        def forward(self, depth, img=None):
+            if img is None and depth.shape[1] == 4:
+                depth, img = depth[:, :1], depth[:, 1:]
+            return gad(depth, img)
+
+    ref.netG_A_d = _SplitCall()
+
+    tb = {"A_i": _nchw(batch["A_i"]), "B_i": _nchw(batch["B_i"]),
+          "A_d": _nchw(batch["A_d"]), "B_d": _nchw(batch["B_d"]),
+          "A_paths": batch["A_paths"], "B_paths": batch["B_paths"],
+          "K_A": torch.from_numpy(batch["K_A"]).double(),
+          "K_B": torch.from_numpy(batch["K_B"]).double(),
+          "crop_A": torch.from_numpy(batch["crop_A"]).double(),
+          "crop_B": torch.from_numpy(batch["crop_B"]).double()}
+
+    ref.eval()
+    ref.set_input(tb)
+    np.random.seed(1)
+    with torch.no_grad():
+        ref.forward(stage="train")
+        ref.backward_G(back=False)
+    gt_real = ref.gt_mask_real.numpy()[:, 0].astype(np.float32)
+    gt_syn = ref.gt_mask_syn.numpy()[:, 0].astype(np.float32)
+    assert gt_real.min() == 0.0 and gt_syn.min() == 0.0, "need nonzero hole masks"
+
+    _inject_masks(monkeypatch, [gt_real, gt_syn])
+    ours._post_setup()
+    ours.set_input(batch)
+    ours.calculate(stage="test")
+    m = ours.metrics
+
+    # checkpoint-exclusion quirk: save must not write a G_B_d file
+    ours.save_networks("oracle")
+    import os
+    assert not os.path.exists(os.path.join(ours.save_dir(), "oracle_net_G_B_d.pth"))
+    assert "G_B_d" in ours.params  # restored after save
+
+    for name, ref_val, kw in [
+        ("task_real_by_depth", ref.loss_task_real_by_depth, {}),
+        ("task_real_by_image", ref.loss_task_real_by_image, {}),
+        ("holes_real", ref.loss_holes_real, {}),
+        ("holes_real_l2", ref.loss_holes_real_l2, {}),
+        ("task_syn", ref.loss_task_syn, {}),
+        ("tv_real_norm", ref.loss_tv_real_norm, {"rtol": 5e-3}),
+        ("syn_norms", ref.loss_syn_norms, {"rtol": 5e-3}),
+        ("G", ref.loss_G, {"rtol": 5e-3}),
+    ]:
+        _close(name, m[name], ref_val, **kw)
+
+
 # ---------------------------------------------------------------- translation
 
 

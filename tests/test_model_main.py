@@ -121,3 +121,15 @@ def test_main_requires_use_image_for_trans():
     argv_opt.use_image_for_trans = False
     with pytest.raises(NotImplementedError):
         MainModel(argv_opt)
+
+
+def test_main_rejects_use_rec_as_real_input():
+    """QUIRKS #31: the reference main stage crashes on --use_rec_as_real_input
+    (it calls self.netG_B_d without ever defining it, main_model.py:236-239);
+    we gate it with a readable error instead of silently ignoring the flag."""
+    from desr_tpu.models.main_model import MainModel
+
+    argv_opt = make_opt()
+    argv_opt.use_rec_as_real_input = True
+    with pytest.raises(NotImplementedError, match="use_rec_as_real_input"):
+        MainModel(argv_opt)

@@ -79,3 +79,40 @@ def test_sr_use_d_rejected():
     opt.use_D = True
     with pytest.raises(NotImplementedError):
         MainSRModel(opt)
+
+
+def test_sr_use_rec_train_step_threads_frozen_gbd():
+    """--use_rec_as_real_input (QUIRKS #31): the frozen, checkpoint-excluded
+    G_B_d must still be visible INSIDE the jitted train step (regression: the
+    loss closure used to rebuild params from model_names only -> KeyError at
+    the first optimize_parameters through the real CLI). G_B_d stays frozen;
+    the trainable nets still move."""
+    from desr_tpu.models.main_sr_model import MainSRModel
+
+    argv = [
+        "--model_type", "main", "--SR", "--name", "t_sr_rec",
+        "--checkpoints_dir", "/tmp/desr_sr_rec_ckpt",
+        "--batch_size", "1", "--compute_dtype", "float32",
+        "--use_image_for_trans", "--use_masked", "--norm_loss",
+        "--use_rec_as_real_input",
+        "--ImageDepthf_outf", "8", "--ImageDepthf_basef", "8",
+        "--Depthf_outf", "8", "--Depthf_basef", "8",
+        "--I2D_base", "8", "--Task_basef", "8",
+        "--crop_size_h", "64", "--crop_size_w", "64",
+        "--w_syn_norm", "0.1",
+    ]
+    opt = TrainOptions().parse(argv)
+    model = MainSRModel(opt)
+    model.init_params(seed=0)
+    model._post_setup()
+    model.set_input(fake_batch(ch=64, cw=64))
+
+    gbd_before = {k: np.asarray(v) for k, v in model.params["G_B_d"].items()}
+    task_key = next(iter(model.params["Task"]))
+    task_before = np.asarray(model.params["Task"][task_key])
+
+    model.optimize_parameters(1)
+    assert np.isfinite(float(model.metrics["G"]))
+    for k, v in gbd_before.items():  # frozen: out of the optimizer entirely
+        np.testing.assert_array_equal(np.asarray(model.params["G_B_d"][k]), v)
+    assert not np.array_equal(np.asarray(model.params["Task"][task_key]), task_before)

@@ -12,18 +12,28 @@ def _parse(argv):
 def test_compile_cache_flag_applies(tmp_path):
     """--compile_cache_dir points JAX's persistent compilation cache there
     (and '' disables the override); applied at parse so every entry point
-    inherits it."""
+    inherits it. On the XLA:CPU backend (this suite) the cache is namespaced
+    per host-CPU feature set — XLA:CPU's own cache key omits compile-machine
+    features, so a cross-host replay of AOT code can SIGILL (QUIRKS-adjacent
+    hazard observed in the round-3 dryrun artifact)."""
     import jax
+
+    from desr_tpu.options.base_options import BaseOptions
 
     cache = str(tmp_path / "xla_cache")
     _parse(["--model_type", "I2D", "--compile_cache_dir", cache])
-    assert jax.config.jax_compilation_cache_dir == cache
+    # conftest forces the CPU backend, so the effective dir is namespaced
+    tag = BaseOptions._host_cpu_tag()
+    expected = f"{cache}/cpu-{tag}"
+    assert jax.config.jax_compilation_cache_dir == expected
     import os
 
-    assert os.path.isdir(cache)
+    assert os.path.isdir(expected)
+    # the tag is stable per host and short enough for a path component
+    assert tag == BaseOptions._host_cpu_tag() and len(tag) == 12
     # empty string: parse succeeds and leaves the config untouched
     _parse(["--model_type", "I2D", "--compile_cache_dir", ""])
-    assert jax.config.jax_compilation_cache_dir == cache
+    assert jax.config.jax_compilation_cache_dir == expected
 
 
 def test_translation_injects_gan_flags():

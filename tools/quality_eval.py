@@ -75,6 +75,7 @@ def make_scene(rng, h, w):
     noisy = clean + rng.normal(0, 25.0, clean.shape)
     for _ in range(rng.integers(6, 12)):  # sensor dropout rectangles
         rh, rw = rng.integers(8, 28, 2)
+        rh, rw = min(rh, h - 1), min(rw, w - 1)  # keep rects inside tiny frames
         y0 = int(rng.integers(0, h - rh))
         x0 = int(rng.integers(0, w - rw))
         noisy[y0:y0 + rh, x0:x0 + rw] = 0.0
@@ -198,7 +199,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/desr_quality_eval")
     p.add_argument("--name", default="qeval")
-    p.add_argument("--platform", default="cpu",
+    p.add_argument("--platform", default="cpu", choices=["cpu", "native"],
                    help="'cpu' forces the JAX CPU backend (default: this is "
                         "a trajectory-evidence run, not a perf run); "
                         "'native' keeps the session backend (TPU)")
@@ -231,10 +232,15 @@ def main(argv=None):
         "steps": steps, "epochs": args.epochs, "width": args.width,
         "hw": list(args.hw), "n_train": args.n_train, "n_test": args.n_test,
         "baseline": baseline, "trained": trained,
+        # self-describing: includes rmse_d (the known-risk metric) and the
+        # higher-is-better deltas, so the JSON alone tells the whole story
         "improvement": {k: (1.0 - trained[k] / baseline[k]
                             if baseline.get(k) else None)
-                        for k in ("rmse", "mae", "rmse_h", "mse_v")
+                        for k in ("rmse", "mae", "rmse_h", "rmse_d", "mse_v")
                         if k in trained and k in baseline},
+        "delta_higher_better": {k: trained[k] - baseline[k]
+                                for k in ("psnr", "ssim")
+                                if k in trained and k in baseline},
     }
     print(json.dumps(result))
     return result
