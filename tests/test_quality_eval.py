@@ -33,16 +33,20 @@ def test_scene_generator_contracts():
 
 
 def test_quality_eval_chain(tmp_path, capsys):
+    """--framework both: one run covers BOTH chains (ours via main.py/predict,
+    the torch reference via its own train loop + albumentations shim), plus
+    the shared-init .pth handoff between them."""
     import quality_eval as qe
 
     res = qe.main([
         "--root", str(tmp_path), "--epochs", "1", "--n_train", "4",
         "--n_test", "2", "--batch_size", "2", "--width", "8",
         "--hw", "128", "128", "--platform", "native",  # conftest already CPU
+        "--framework", "both",
     ])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(out)["steps"] == res["steps"]  # printed ONE JSON line
-    for split in ("baseline", "trained"):
+    for split in ("baseline", "trained", "reference"):
         m = res[split]
         assert set(m) >= {"rmse", "mae", "rmse_h", "rmse_d", "psnr", "ssim",
                           "mae_h", "mae_d", "mse_v"}
@@ -50,5 +54,14 @@ def test_quality_eval_chain(tmp_path, capsys):
             assert np.isfinite(v), (split, k, v)
     # the degraded input's hole error must be large (the task exists)
     assert res["baseline"]["rmse_h"] > 500
-    # predictions were actually written and scored
-    assert len(os.listdir(os.path.join(str(tmp_path), "pred"))) == 2
+    # both arms' predictions were actually written and scored
+    assert len(os.listdir(os.path.join(str(tmp_path), "pred_qeval"))) == 2
+    assert len(os.listdir(os.path.join(str(tmp_path), "pred_qeval_ref"))) == 2
+    # head-to-head deltas are present and finite
+    assert res["shared_init"] is True
+    for k, v in res["ours_vs_reference_rel"].items():
+        assert np.isfinite(v), (k, v)
+    # both arms started from the SAME init checkpoints
+    ours_init = os.path.join(str(tmp_path), "ckpt", "qeval", "init_net_Task.pth")
+    ref_init = os.path.join(str(tmp_path), "ckpt", "qeval_ref", "init_net_Task.pth")
+    assert os.path.exists(ours_init) and os.path.exists(ref_init)

@@ -28,14 +28,19 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import argparse
+import contextlib
+import copy
 import json
 import os
+import shutil
 import sys
 
 import numpy as np
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
 
 
 # ---------------------------------------------------------------- scene gen
@@ -124,6 +129,216 @@ def write_dataset(root, n_train, n_test, h, w, seed=23):
     return dirs, intr
 
 
+# ------------------------------------------------- reference (torch) arm
+
+def _install_albu_shim():
+    """Provide an ``albumentations`` module for the reference's datasets.
+
+    The reference pins albumentations==0.4.6 (requirements.txt:5); the library
+    is not installable here, but its 0.4.6 call-level semantics are already
+    vendored in this repo (desr_tpu/data/transforms.py, oracle-pinned by
+    tests/test_transforms_albu.py). This shim maps the tiny API surface the
+    reference datasets use (Compose/Resize/Rotate/RandomCrop/HorizontalFlip/
+    PadIfNeeded over joint image+depth targets, data/my_main_dataset.py:18-90)
+    onto those pinned primitives, so the reference training arm runs its own
+    data pipeline with bit-identical transform semantics.
+    """
+    if "albumentations" in sys.modules:
+        return
+    import random as _random
+    import types
+
+    from desr_tpu.data import transforms as T
+
+    class _Tf:
+        def __init__(self, p=1.0):
+            self.p = p
+
+        def draw(self):
+            return None
+
+    class Resize(_Tf):
+        def __init__(self, height, width, interpolation=1, p=1.0):
+            super().__init__(p)
+            self.h, self.w, self.interp = height, width, interpolation
+
+        def apply(self, x, _):
+            return T.resize(x, self.h, self.w, self.interp)
+
+    class Rotate(_Tf):
+        def __init__(self, limit, p=0.5):
+            super().__init__(p)
+            self.limit = limit
+
+        def draw(self):
+            return _random.uniform(self.limit[0], self.limit[1])
+
+        def apply(self, x, angle):
+            return T.rotate(x, angle)
+
+    class RandomCrop(_Tf):
+        def __init__(self, height, width, p=1.0):
+            super().__init__(p)
+            self.ch, self.cw = height, width
+
+        def draw(self):
+            return _random.random(), _random.random()
+
+        def apply(self, x, hw_start):
+            h, w = x.shape[:2]
+            y1 = int((h - self.ch) * hw_start[0])
+            x1 = int((w - self.cw) * hw_start[1])
+            return x[y1:y1 + self.ch, x1:x1 + self.cw]
+
+    class HorizontalFlip(_Tf):
+        def apply(self, x, _):
+            return T.hflip(x)
+
+    class PadIfNeeded(_Tf):
+        def __init__(self, min_height, min_width, p=1.0):
+            super().__init__(p)
+            self.mh, self.mw = min_height, min_width
+
+        def apply(self, x, _):
+            return T.pad_if_needed(x, self.mh, self.mw)
+
+    class Compose:
+        # 0.4.6: each transform fires iff random() < p, with ONE param draw
+        # shared across all targets (additional_targets={'depth': 'image'})
+        def __init__(self, transforms, p=1, additional_targets=None):
+            self.transforms = transforms
+
+        def __call__(self, **targets):
+            out = {k: v for k, v in targets.items()}
+            for t in self.transforms:
+                if _random.random() < t.p:
+                    params = t.draw()
+                    out = {k: t.apply(v, params) for k, v in out.items()}
+            return out
+
+    mod = types.ModuleType("albumentations")
+    for cls in (Compose, Resize, Rotate, RandomCrop, HorizontalFlip,
+                PadIfNeeded):
+        setattr(mod, cls.__name__, cls)
+    sys.modules["albumentations"] = mod
+
+    # torchvision is absent from this env; the reference datasets import it
+    # at module level, and the throwaway UnalignedDataset that
+    # CustomDatasetDataLoader builds (data/__init__.py:74) CONSTRUCTS
+    # torchvision transforms in get_transform (base_dataset.py:82-116) but
+    # never applies them (the custom main dataset replaces it and uses only
+    # albumentations). Stub: any attribute is an inert constructible whose
+    # *application* fails loudly.
+    if "torchvision" not in sys.modules:
+        class _Inert:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, *a, **k):
+                raise NotImplementedError(
+                    "torchvision stub (quality_eval reference arm): a "
+                    "transform was APPLIED, but torchvision is not "
+                    "installed here")
+
+        def _stub_attr(name):
+            if name.startswith("__"):  # hasattr probes (inspect etc.)
+                raise AttributeError(name)
+            return _Inert
+
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvf = types.ModuleType("torchvision.transforms.functional")
+        tv.__getattr__ = tvt.__getattr__ = tvf.__getattr__ = _stub_attr
+        tv.transforms = tvt
+        tvt.functional = tvf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.transforms.functional"] = tvf
+
+
+def make_shared_init(dirs, intr, args, arm_names):
+    """Write one set of init .pth checkpoints both arms start from.
+
+    Removes init-seed variance from the head-to-head: our MainModel inits
+    (seed=--seed), saves real torch-layout .pth files (the weight-parity
+    contract), and every arm trains with --continue_train --epoch init —
+    the reference loads the exact same tensors via its own load_networks.
+    """
+    from desr_tpu.models.main_model import MainModel
+    from desr_tpu.options.train_options import TrainOptions
+
+    argv = _train_argv(dirs, intr, args, arm_names[0])[1:]  # drop prog name
+    with contextlib.redirect_stdout(sys.stderr):
+        opt = TrainOptions().parse(argv)
+        model = MainModel(opt)
+        model.init_params(seed=args.seed)
+        model.save_networks("init")
+    src = model.save_dir()
+    for arm in arm_names[1:]:
+        dst = os.path.join(args.ckpt_dir, arm)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if f.startswith("init_net_"):
+                shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+
+
+def train_reference(dirs, intr, args, name):
+    """Drive the reference's OWN training loop on the same dataset/config.
+
+    The driven path is exactly the reference's: create_dataset over
+    my_main_dataset -> set_input -> optimize_parameters(iters, update_ratio)
+    -> update_learning_rate per epoch -> save_networks('latest')
+    (/root/reference/main.py:58-107, models/main_model.py:422-429). Runs on
+    torch-CPU (init_net: empty gpu_ids). Serving + scoring then go through
+    the same predict.py/new_metrics chain as our arm — inference parity is
+    already oracle-tested, so the trained WEIGHTS are the only variable.
+    """
+    import random as _random
+
+    import torch
+
+    _install_albu_shim()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)  # append: never shadow repo modules
+    import importlib
+
+    ref_main = importlib.import_module("models.main_model")
+    ref_data = importlib.import_module("data")
+    ref_ds = importlib.import_module("data.my_main_dataset")
+
+    from desr_tpu.options.train_options import TrainOptions
+
+    argv = _train_argv(dirs, intr, args, name)[1:]
+    with contextlib.redirect_stdout(sys.stderr):
+        opt = TrainOptions().parse(argv)
+    ropt = copy.deepcopy(opt)
+    ropt.gpu_ids = []  # reference init_net: empty gpu_ids -> CPU
+    ropt.num_threads = 0  # inline loading: deterministic + 1-core friendly
+    # CustomDatasetDataLoader builds a throwaway UnalignedDataset(opt) before
+    # swapping in the custom class (data/__init__.py:74-76) — it needs
+    # <dataroot>/trainA,trainB to exist even though they are never read
+    ropt.dataroot = os.path.join(args.root, "_ref_dataroot")
+    for sub in ("trainA", "trainB"):
+        os.makedirs(os.path.join(ropt.dataroot, sub), exist_ok=True)
+
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)
+    _random.seed(args.seed)
+    with contextlib.redirect_stdout(sys.stderr):
+        model = ref_main.MainModel(ropt)
+        model.setup(ropt)  # --continue_train: loads the shared init .pth
+        dataset = ref_data.create_dataset(ropt, ref_ds.MyUnalignedDataset)
+        total_iters = 0
+        for _epoch in range(1, args.epochs + 1):
+            model._train()
+            for data in dataset:
+                model.set_input(data)
+                total_iters += ropt.batch_size
+                model.optimize_parameters(total_iters, ropt.update_ratio)
+            model.update_learning_rate()
+        model.save_networks("latest")
+
+
 # ---------------------------------------------------------------- pipeline
 
 def width_flags(width):
@@ -133,19 +348,12 @@ def width_flags(width):
             "--I2D_base", w, "--Task_basef", w]
 
 
-def train(dirs, intr, args):
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "desr_main", os.path.join(REPO_ROOT, "main.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-
+def _train_argv(dirs, intr, args, name):
     argv = [
         "main.py", "--model_type", "main", "--do_train",
         "--image_and_depth", "--use_scannet",
         "--use_image_for_trans", "--use_masked", "--norm_loss",
-        "--name", args.name, "--checkpoints_dir", args.ckpt_dir,
+        "--name", name, "--checkpoints_dir", args.ckpt_dir,
         "--path_A", dirs["A_depth"], "--A_add_paths", dirs["A_img"],
         "--path_B", dirs["B_depth"], "--B_add_paths", dirs["B_img"],
         "--path_to_intr", intr,
@@ -157,16 +365,30 @@ def train(dirs, intr, args):
         "--crop_size_h", str(args.hw[0]), "--crop_size_w", str(args.hw[1]),
         "--save_epoch_freq", str(args.epochs), "--print_freq",
         str(args.batch_size * 8), "--num_threads", "1",
+        "--seed", str(args.seed),
     ] + width_flags(args.width)
+    if getattr(args, "_shared_init", False):
+        argv += ["--continue_train", "--epoch", "init"]
+    return argv
+
+
+def train(dirs, intr, args, name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "desr_main", os.path.join(REPO_ROOT, "main.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
     old_argv = sys.argv
-    sys.argv = argv
+    sys.argv = _train_argv(dirs, intr, args, name)
     try:
         mod.main()
     finally:
         sys.argv = old_argv
 
 
-def serve(dirs, args, out_dir):
+def serve(dirs, args, out_dir, name):
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -174,7 +396,7 @@ def serve(dirs, args, out_dir):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.main([
-        "--name", args.name, "--checkpoints_dir", args.ckpt_dir,
+        "--name", name, "--checkpoints_dir", args.ckpt_dir,
         "--input_depth", dirs["test_in"], "--input_img", dirs["test_img"],
         "--output", out_dir, "--batch_size", str(args.n_test),
         "--compute_dtype", args.compute_dtype, "--num_devices", "1",
@@ -211,6 +433,14 @@ def main(argv=None):
     p.add_argument("--n_test", type=int, default=8)
     p.add_argument("--hw", type=int, nargs=2, default=(128, 128))
     p.add_argument("--compute_dtype", default="float32")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--framework", default="ours",
+                   choices=["ours", "reference", "both"],
+                   help="'both': train OUR framework and the torch reference "
+                        "on the SAME dataset/config from the SAME init "
+                        "checkpoints, serve both through predict.py, and "
+                        "score both — the head-to-head trained-quality "
+                        "parity artifact")
     args = p.parse_args(argv)
     args.ckpt_dir = os.path.join(args.root, "ckpt")
 
@@ -222,26 +452,50 @@ def main(argv=None):
     dirs, intr = write_dataset(args.root, args.n_train, args.n_test, *args.hw)
     baseline = score(dirs, dirs["test_in"], intr)  # degraded input as "pred"
 
-    train(dirs, intr, args)
-    pred_dir = os.path.join(args.root, "pred")
-    serve(dirs, args, pred_dir)
-    trained = score(dirs, pred_dir, intr)
+    arms = {"ours": [args.name], "reference": [args.name + "_ref"],
+            "both": [args.name, args.name + "_ref"]}[args.framework]
+    args._shared_init = args.framework != "ours"
+    if args._shared_init:
+        make_shared_init(dirs, intr, args, arms)
+
+    scores = {}
+    for arm in arms:
+        if arm.endswith("_ref"):
+            train_reference(dirs, intr, args, arm)
+        else:
+            train(dirs, intr, args, arm)
+        pred_dir = os.path.join(args.root, "pred_" + arm)
+        serve(dirs, args, pred_dir, arm)
+        key = "reference" if arm.endswith("_ref") else "trained"
+        scores[key] = score(dirs, pred_dir, intr)
 
     steps = args.epochs * (args.n_train // args.batch_size)
     result = {
         "steps": steps, "epochs": args.epochs, "width": args.width,
         "hw": list(args.hw), "n_train": args.n_train, "n_test": args.n_test,
-        "baseline": baseline, "trained": trained,
+        "framework": args.framework, "seed": args.seed,
+        "shared_init": args._shared_init,
+        "baseline": baseline, **scores,
+    }
+    if "trained" in scores:
+        trained = scores["trained"]
         # self-describing: includes rmse_d (the known-risk metric) and the
         # higher-is-better deltas, so the JSON alone tells the whole story
-        "improvement": {k: (1.0 - trained[k] / baseline[k]
-                            if baseline.get(k) else None)
-                        for k in ("rmse", "mae", "rmse_h", "rmse_d", "mse_v")
-                        if k in trained and k in baseline},
-        "delta_higher_better": {k: trained[k] - baseline[k]
-                                for k in ("psnr", "ssim")
-                                if k in trained and k in baseline},
-    }
+        result["improvement"] = {
+            k: (1.0 - trained[k] / baseline[k] if baseline.get(k) else None)
+            for k in ("rmse", "mae", "rmse_h", "rmse_d", "mse_v")
+            if k in trained and k in baseline}
+        result["delta_higher_better"] = {
+            k: trained[k] - baseline[k] for k in ("psnr", "ssim")
+            if k in trained and k in baseline}
+    if "trained" in scores and "reference" in scores:
+        ref = scores["reference"]
+        # ours relative to the reference-trained model, per metric:
+        # negative = ours lower (better for error metrics, worse for
+        # psnr/ssim); the 1%-parity north star reads directly off this
+        result["ours_vs_reference_rel"] = {
+            k: (scores["trained"][k] - ref[k]) / abs(ref[k])
+            for k in ref if ref.get(k)}
     print(json.dumps(result))
     return result
 
