@@ -23,6 +23,14 @@ class NaiveSRDataset(UnpairedFolderDataset):
     LOAD_H, LOAD_W = 960, 1280
     PAD_H, PAD_W = 1024, 1280
 
+    def _draw_crop(self, rng):
+        """The ONE rng consumption of the SR transform (host and --device_aug
+        paths draw identically, keeping the augmentation stream shared)."""
+        ch, cw = self.opt.crop_size_h * 2, self.opt.crop_size_w * 2
+        h = int(rng.integers(0, self.PAD_H - ch + 1))
+        w = int(rng.integers(0, self.PAD_W - cw + 1))
+        return h, w
+
     def _transform_pair(self, rng, depth, img):
         opt = self.opt
         depth, img = normalize_pair(depth, img)
@@ -32,8 +40,7 @@ class NaiveSRDataset(UnpairedFolderDataset):
         depth = T.pad_if_needed(depth, self.PAD_H, self.PAD_W)
         ch, cw = opt.crop_size_h * 2, opt.crop_size_w * 2
         if self.train:
-            h = int(rng.integers(0, self.PAD_H - ch + 1))
-            w = int(rng.integers(0, self.PAD_W - cw + 1))
+            h, w = self._draw_crop(rng)
             depth = depth[h : h + ch, w : w + cw]
             img = img[h : h + ch, w : w + cw]
         else:
@@ -50,8 +57,25 @@ class NaiveSRDataset(UnpairedFolderDataset):
         B_depth = self.load_depth(B_path, "B")
         A_img = load_image(self.A_add_paths[index_A])[..., :3].astype(np.float32)
         B_img = load_image(self.B_add_paths[index_B])[..., :3].astype(np.float32)
-        A_d, A_i, h_a, w_a = self._transform_pair(rng, A_depth, A_img)
-        B_d, B_i, h_b, w_b = self._transform_pair(rng, B_depth, B_img)
+        device_half = None
+        if self.device_aug_active():
+            # host keeps decode + normalize only; the full-canvas INTER_AREA
+            # resize + pad + crop (the costliest host work at this stage,
+            # PERF.md) runs on device (ops/device_aug.make_sr_finisher). Same
+            # rng draw order as the host path -> identical crop offsets.
+            A_dn, A_in = normalize_pair(A_depth, A_img)
+            B_dn, B_in = normalize_pair(B_depth, B_img)
+            h_a, w_a = self._draw_crop(rng)
+            h_b, w_b = self._draw_crop(rng)
+            device_half = {
+                "A_img_src": A_in, "A_d_src": A_dn,
+                "A_off": np.array([h_a, w_a], np.int32),
+                "B_img_src": B_in, "B_d_src": B_dn,
+                "B_off": np.array([h_b, w_b], np.int32),
+            }
+        else:
+            A_d, A_i, h_a, w_a = self._transform_pair(rng, A_depth, A_img)
+            B_d, B_i, h_b, w_b = self._transform_pair(rng, B_depth, B_img)
         K_B = self.get_intrinsics(B_path)
         K_A = self.interiornet_K() if self.opt.interiornet else self.get_intrinsics(A_path)
         K_A = K_A * SCALE_K
@@ -64,7 +88,34 @@ class NaiveSRDataset(UnpairedFolderDataset):
         else:
             crop_A = np.array([0, 1024, 0, 1280], np.float32)
             crop_B = np.array([0, 512, 0, 640], np.float32)
-        return {"A_i": A_i, "B_i": B_i, "A_d": A_d, "B_d": B_d,
-                "A_paths": str(A_path), "B_paths": str(B_path),
+        item = {"A_paths": str(A_path), "B_paths": str(B_path),
                 "K_A": K_A.astype(np.float32), "K_B": K_B.astype(np.float32),
                 "crop_A": crop_A, "crop_B": crop_B}
+        if device_half is not None:
+            item.update(device_half)
+        else:
+            item.update(A_i=A_i, B_i=B_i, A_d=A_d, B_d=B_d)
+        return item
+
+    def device_finish(self, arrays):
+        """Parent-process device half of SR --device_aug: INTER_AREA resize
+        to the 960x1280 canvas + REFLECT_101 pad + crop, one jitted call per
+        source geometry (ops/device_aug.make_sr_finisher)."""
+        if "A_img_src" not in arrays:
+            return arrays
+        if not hasattr(self, "_sr_finishers"):
+            self._sr_finishers = {}  # one jitted fn per source geometry
+        out = dict(arrays)
+        a_img, a_d = out.pop("A_img_src"), out.pop("A_d_src")
+        b_img, b_d = out.pop("B_img_src"), out.pop("B_d_src")
+        key = (a_img.shape[1:3], a_d.shape[1:3], b_img.shape[1:3], b_d.shape[1:3])
+        if self._sr_finishers.get(key) is None:
+            from desr_tpu.ops.device_aug import make_sr_finisher
+
+            self._sr_finishers[key] = make_sr_finisher(
+                self.LOAD_H, self.LOAD_W, self.PAD_H, self.PAD_W,
+                self.opt.crop_size_h * 2, self.opt.crop_size_w * 2)
+        done = self._sr_finishers[key](a_img, a_d, out.pop("A_off"),
+                                       b_img, b_d, out.pop("B_off"))
+        out.update(done)
+        return out

@@ -299,3 +299,54 @@ def make_pair_augmenter(out_h, out_w, jitter=False):
         }
 
     return fn_jit
+
+
+def make_sr_finisher(load_h, load_w, pad_h, pad_w, out_h, out_w):
+    """Jitted device half of SR ``--device_aug`` (data/sr_dataset.py).
+
+    The SR host chain has no rotate/flip/jitter; its cost is the full-canvas
+    resize + pad (normalize -> INTER_AREA resize to 960x1280 -> REFLECT_101
+    pad to 1024x1280 -> random crop, my_naive_sr_dataset.py:56-89). Under
+    --device_aug the host ships the DECODED native-size frames (normalized,
+    a few hundred KB) and the canvas work runs here: cv2-exact INTER_AREA
+    matmul resize (ops/resize.resize_cv2_inter_area), reflect pad, per-item
+    dynamic_slice crop at HOST-drawn offsets (the same rng stream as the
+    host path, so the augmentation distribution is unchanged), post-crop
+    clip — matching the host chain's op order exactly.
+
+    Takes (B, Hi, Wi, 3) images + (B, Hd, Wd) depths per domain plus (B, 2)
+    int32 crop offsets; returns the standard model input keys at crop size.
+    One compiled variant per distinct source geometry (datasets are
+    homogeneous per source in practice).
+    """
+    from desr_tpu.ops.resize import resize_cv2_inter_area
+
+    def pad_amounts(rows, cols):
+        top = int((pad_h - rows) / 2.0) if rows < pad_h else 0
+        bot = pad_h - rows - top if rows < pad_h else 0
+        left = int((pad_w - cols) / 2.0) if cols < pad_w else 0
+        right = pad_w - cols - left if cols < pad_w else 0
+        return (top, bot), (left, right)
+
+    def canvas(img, depth):
+        img = resize_cv2_inter_area(img, (load_h, load_w))
+        depth = resize_cv2_inter_area(depth[..., None], (load_h, load_w))
+        full = jnp.concatenate([img, depth], axis=-1)
+        (t, b), (l, r) = pad_amounts(load_h, load_w)
+        if t or b or l or r:  # REFLECT_101 == jnp.pad 'reflect'
+            full = jnp.pad(full, ((0, 0), (t, b), (l, r), (0, 0)), mode="reflect")
+        return full
+
+    def crop_one(full, off):
+        sl = jax.lax.dynamic_slice(
+            full, (off[0], off[1], 0), (out_h, out_w, full.shape[-1]))
+        return jnp.clip(sl, -1.0, 1.0)  # host clips after crop
+
+    @jax.jit
+    def fn(a_img, a_d, a_off, b_img, b_d, b_off):
+        a = jax.vmap(crop_one)(canvas(a_img, a_d), a_off.astype(jnp.int32))
+        b = jax.vmap(crop_one)(canvas(b_img, b_d), b_off.astype(jnp.int32))
+        return {"A_i": a[..., :3], "A_d": a[..., 3:],
+                "B_i": b[..., :3], "B_d": b[..., 3:]}
+
+    return fn

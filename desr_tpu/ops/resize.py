@@ -62,6 +62,29 @@ def _resize_matrix(in_size, out_size, mode):
             wgt = _cubic_kernel(frac - k)
             idx = np.clip(tap, 0, in_size - 1)
             np.add.at(m, (np.arange(out_size), idx), wgt)
+    elif mode == "cv2_area":
+        # cv2 INTER_AREA decimation (float path): dst[j] = area-average of
+        # src over [j*scale, (j+1)*scale), fractional cells edge-weighted.
+        # cv2 uses this only when BOTH axes downscale — resize_cv2_inter_area
+        # applies that rule.
+        for j in range(out_size):
+            lo, hi = j * scale, (j + 1) * scale
+            i0, i1 = int(np.floor(lo)), int(np.ceil(hi))
+            for i in range(i0, min(i1, in_size)):
+                m[j, i] = (min(i + 1.0, hi) - max(float(i), lo)) / scale
+    elif mode == "cv2_area_up":
+        # cv2 INTER_AREA when NOT (both axes downscale): the generic-path
+        # coefficients sx=floor(dx*scale), fx=(dx+1)-(sx+1)/scale clamped to
+        # [0,1) (OpenCV resize.cpp INTER_AREA branch) — pixel replication for
+        # integer zooms, 2-tap blends at fractional boundaries. Verified
+        # exact vs cv2 for integer, fractional, and mixed-axis resizes.
+        inv = out_size / in_size
+        for dx in range(out_size):
+            sx = int(np.floor(dx * scale))
+            fx = (dx + 1) - (sx + 1) * inv
+            fx = 0.0 if fx <= 0 else fx - np.floor(fx)
+            m[dx, min(sx, in_size - 1)] += 1.0 - fx
+            m[dx, min(sx + 1, in_size - 1)] += fx
     else:
         raise ValueError(mode)
     return m.astype(np.float32)
@@ -120,3 +143,19 @@ def resize_bilinear_planar(x, out_hw):
 
 def resize_nearest_planar(x, out_hw):
     return _apply_separable_planar(x, out_hw, "nearest")
+
+
+def resize_cv2_inter_area(img, out_hw):
+    """cv2.resize(..., interpolation=cv2.INTER_AREA) float-path equivalent.
+
+    The SR host loader resizes with albumentations interpolation=3 ==
+    cv2.INTER_AREA (data/my_naive_sr_dataset.py:56-89 via transforms); cv2's
+    rule: true area decimation when BOTH axes downscale, else the generic
+    area-zoom 2-tap coefficients on both axes. Matmul formulation (static
+    weight matrices on the MXU), used by the SR --device_aug path; parity vs
+    cv2 in tests/test_device_aug.py.
+    """
+    h, w = img.shape[-3], img.shape[-2]
+    oh, ow = out_hw
+    mode = "cv2_area" if (h >= oh and w >= ow) else "cv2_area_up"
+    return _apply_separable(img, out_hw, mode)

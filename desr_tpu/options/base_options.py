@@ -120,7 +120,13 @@ class BaseOptions:
                                  "uint8 LSB, rotation via the gather-free "
                                  "Paeth three-shear resampler (same map, "
                                  "different kernel than cv2 — PERF.md). "
-                                 "Doubles the per-core host feed capacity")
+                                 "Doubles the per-core host feed capacity. "
+                                 "SR: the host ships decoded native-size "
+                                 "frames and the full-canvas INTER_AREA "
+                                 "resize+pad+crop runs on device (cv2-exact "
+                                 "matmul resize); requires per-folder "
+                                 "homogeneous source geometry (one compiled "
+                                 "variant per distinct size)")
         parser.add_argument("--remat_blocks", action="store_true",
                             help="block-scoped remat: checkpoint each run of "
                                  "conv/norm/act layers so only run INPUTS "

@@ -295,3 +295,73 @@ def test_loader_integration_device_aug(tmp_path):
     test_loader = create_dataset(opt, MainDataset, stage="test")
     tb = next(iter(test_loader))
     assert "A_full" not in tb and "A_i" in tb
+
+
+# ------------------------------------------------------ SR device_aug (r4)
+
+
+@pytest.mark.parametrize("src,dst", [
+    ((480, 640), (960, 1280)),   # SR depth: integer upscale -> replication
+    ((968, 1296), (960, 1280)),  # SR color: both-axes downscale -> true area
+    ((200, 300), (73, 111)),     # fractional decimation
+    ((64, 64), (128, 96)),       # fractional zoom (generic 2-tap coeffs)
+    ((480, 640), (960, 640)),    # mixed: one axis up -> generic path
+])
+def test_resize_cv2_inter_area_matches_cv2(src, dst):
+    """ops/resize.resize_cv2_inter_area == cv2.resize(INTER_AREA) float path
+    in every regime cv2 distinguishes (decimation / zoom / mixed axes)."""
+    import cv2
+
+    from desr_tpu.ops.resize import resize_cv2_inter_area
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (1, *src, 3)).astype(np.float32)
+    want = cv2.resize(x[0], (dst[1], dst[0]), interpolation=cv2.INTER_AREA)
+    got = np.asarray(resize_cv2_inter_area(x, dst))[0]
+    assert np.abs(got - want).max() < 3e-7
+
+
+def test_sr_dataset_device_aug_equivalence(tmp_path):
+    """SR --device_aug: decode+normalize on host, canvas resize+pad+crop on
+    device — numerically equivalent to the host chain (the resize is
+    cv2-exact, pad/crop/clip are exact), same rng stream (identical crop
+    offsets ride into crop_A/crop_B)."""
+    from desr_tpu.data.loader import collate
+    from desr_tpu.data.sr_dataset import NaiveSRDataset
+
+    dirs, intr = _write_fixtures(str(tmp_path), hw=(480, 640))
+    opt_host = _opt(str(tmp_path), dirs, intr, "main", extra=("--SR",))
+    opt_dev = _opt(str(tmp_path), dirs, intr, "main",
+                   extra=("--SR", "--device_aug"))
+    ds_host = NaiveSRDataset(opt_host, stage="train")
+    ds_dev = NaiveSRDataset(opt_dev, stage="train")
+    for idx in range(2):
+        host = ds_host[idx]
+        dev_item = ds_dev[idx]
+        assert "A_img_src" in dev_item and "A_i" not in dev_item
+        finished = ds_dev.device_finish(collate([dev_item]))
+        dev = {k: np.asarray(v)[0] if hasattr(v, "ndim") else v
+               for k, v in finished.items()}
+        for k in ("A_i", "A_d", "B_i", "B_d"):
+            assert dev[k].shape == host[k].shape, k
+            assert np.abs(dev[k] - host[k]).max() < 3e-6, k
+        for k in ("K_A", "K_B", "crop_A", "crop_B"):
+            assert np.allclose(np.asarray(dev[k]), np.asarray(host[k])), k
+
+
+def test_sr_device_aug_loader_integration(tmp_path):
+    """End to end through create_dataset: the SR loader emits standard model
+    keys at HR crop size with --device_aug on."""
+    from desr_tpu.data.loader import create_dataset
+    from desr_tpu.data.sr_dataset import NaiveSRDataset
+
+    dirs, intr = _write_fixtures(str(tmp_path), hw=(480, 640))
+    opt = _opt(str(tmp_path), dirs, intr, "main",
+               extra=("--SR", "--device_aug"))
+    opt.batch_size = 2
+    loader = create_dataset(opt, NaiveSRDataset, stage="train")
+    batch = next(iter(loader))
+    ch, cw = opt.crop_size_h * 2, opt.crop_size_w * 2
+    assert np.asarray(batch["A_d"]).shape == (2, ch, cw, 1)
+    assert np.asarray(batch["B_i"]).shape == (2, ch, cw, 3)
+    assert "A_img_src" not in batch

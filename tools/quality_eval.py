@@ -111,13 +111,19 @@ def write_dataset(root, n_train, n_test, h, w, seed=23):
     for i in range(n_train):
         stem = f"scene{i:04d}_00_{i}"
         clean, rgb, noisy = make_scene(rng, h, w)
-        # A = degraded "real" domain; B = clean "synthetic" domain. Distinct
-        # scenes per domain (unpaired), matching the main stage's data model.
-        imageio.imwrite(os.path.join(dirs["A_depth"], stem + ".png"), noisy)
-        imageio.imwrite(os.path.join(dirs["A_img"], stem + ".png"), rgb)
+        # Domain mapping matches the model's (main_model.py:191-192, ours
+        # :176): A = SYNTHETIC (clean renders, dense GT supervision via
+        # task_syn), B = REAL (degraded sensor frames; valid-pixel identity +
+        # punched-hole losses). predict.py serves the B/real branch, so the
+        # served distribution is the degraded one. (Round-3 ran this swapped
+        # — the real branch trained on clean frames, served on degraded —
+        # the likely cause of the rmse_d regression in QUALITY_r03.json.)
+        # Distinct scenes per domain (unpaired), as in the real data model.
+        imageio.imwrite(os.path.join(dirs["B_depth"], stem + ".png"), noisy)
+        imageio.imwrite(os.path.join(dirs["B_img"], stem + ".png"), rgb)
         clean_b, rgb_b, _ = make_scene(rng, h, w)
-        imageio.imwrite(os.path.join(dirs["B_depth"], stem + ".png"), clean_b)
-        imageio.imwrite(os.path.join(dirs["B_img"], stem + ".png"), rgb_b)
+        imageio.imwrite(os.path.join(dirs["A_depth"], stem + ".png"), clean_b)
+        imageio.imwrite(os.path.join(dirs["A_img"], stem + ".png"), rgb_b)
         put_intr(stem)
     for i in range(n_test):
         stem = f"scene{n_train + i:04d}_00_{n_train + i}"
