@@ -113,6 +113,17 @@ def main(argv=None):
             # synthetic branch — translator + syn guidance + syn fusion head
             "--no_batched_branches",
         ] + (["--SR"] if args.SR else []) + list(args.net_args)
+        if args.SR and "--crop_size_h" not in args.net_args:
+            # the SR graph's internal LR geometry must be half the (padded)
+            # input frame (hr_hw == input grid, main_sr_model lr_hw/hr_hw);
+            # derive it from the first frame instead of crashing on the
+            # default crop flags
+            first = sorted(glob.glob(os.path.join(args.input_depth, "*")))
+            assert first, f"no depth frames in {args.input_depth}"
+            d0 = load_depth_png(first[0])
+            ph, _ = pad_to_multiple(np.zeros(d0.shape[:2], np.float32), 128)
+            model_argv += ["--crop_size_h", str(ph.shape[0] // 2),
+                           "--crop_size_w", str(ph.shape[1] // 2)]
         opt = TrainOptions().parse(model_argv)
 
         if args.SR:
@@ -137,7 +148,13 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
 
     K = np.array([[577.0, 0, 320], [0, 577, 240], [0, 0, 1]], np.float32)
-    scale = 2 if args.SR else 1
+    # the SR prediction lives on the INPUT grid (the reference SR dataflow
+    # feeds the HR canvas and predicts on it, main_sr_model.py:228-265;
+    # ours: pred_real_depth_hr has batch['B_d']'s shape) — pad offsets map
+    # 1:1 onto the output in BOTH modes. (A 2x pad crop here used to shrink
+    # padded SR outputs; caught by driving predict.py --SR on a 200x200
+    # frame: 144x144 came out.)
+    scale = 1
     n_done = 0
 
     def pad_frame(arr):

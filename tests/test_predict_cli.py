@@ -38,3 +38,39 @@ def test_predict_folder(tmp_path, monkeypatch):
     assert pred.dtype == np.uint16
     assert pred.shape == (100, 140)  # padding cropped back off
     assert pred.max() <= 5100
+
+
+def test_predict_sr_folder(tmp_path):
+    """--SR serving: prediction on the INPUT grid, padding cropped back 1:1
+    (regression: a 2x pad crop used to shrink padded SR outputs), crop flags
+    auto-derived from the frame geometry when not passed."""
+    import imageio
+
+    rng = np.random.default_rng(0)
+    dd = tmp_path / "depth"
+    di = tmp_path / "img"
+    out = tmp_path / "out"
+    os.makedirs(dd)
+    os.makedirs(di)
+    for i in range(2):
+        # 200x200 -> padded to 256x256 (the /128 grid), cropped back
+        imageio.imwrite(dd / f"f{i}.png", rng.integers(0, 6000, (200, 200)).astype(np.uint16))
+        imageio.imwrite(di / f"f{i}.png", rng.integers(0, 255, (200, 200, 3)).astype(np.uint8))
+
+    import predict
+
+    predict.main([
+        "--name", "pred_sr_test", "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--input_depth", str(dd), "--input_img", str(di), "--output", str(out),
+        "--batch_size", "2", "--compute_dtype", "float32", "--SR",
+        "--net_args",
+        "--ImageDepthf_outf", "8", "--ImageDepthf_basef", "8",
+        "--Depthf_outf", "8", "--Depthf_basef", "8",
+        "--I2D_base", "8", "--Task_basef", "8",
+    ])
+    files = sorted(os.listdir(out))
+    assert files == ["f0.png", "f1.png"]
+    pred = imageio.imread(out / "f0.png")
+    assert pred.dtype == np.uint16
+    assert pred.shape == (200, 200)
+    assert pred.max() <= 5100
