@@ -56,6 +56,20 @@ def _lowfreq_field(rng, h, w, n_waves=4, amp=1.0):
     return amp * f / n_waves
 
 
+def degrade(rng, clean):
+    """Sensor model: Gaussian noise + rectangular dropouts + speckle holes."""
+    h, w = clean.shape
+    noisy = clean + rng.normal(0, 25.0, clean.shape)
+    for _ in range(rng.integers(6, 12)):  # sensor dropout rectangles
+        rh, rw = rng.integers(8, 28, 2)
+        rh, rw = min(rh, h - 1), min(rw, w - 1)  # keep rects inside tiny frames
+        y0 = int(rng.integers(0, h - rh))
+        x0 = int(rng.integers(0, w - rw))
+        noisy[y0:y0 + rh, x0:x0 + rw] = 0.0
+    noisy[rng.random(clean.shape) < 0.01] = 0.0  # speckle holes
+    return np.clip(noisy, 0, 65535).astype(np.uint16)
+
+
 def make_scene(rng, h, w):
     """Returns (clean_mm uint16, rgb uint8, degraded_mm uint16)."""
     base = rng.uniform(1400, 2600)
@@ -77,16 +91,7 @@ def make_scene(rng, h, w):
                     for g in rng.uniform(0.8, 1.2, 3)], -1)
     rgb8 = (rgb * 255).astype(np.uint8)
 
-    noisy = clean + rng.normal(0, 25.0, clean.shape)
-    for _ in range(rng.integers(6, 12)):  # sensor dropout rectangles
-        rh, rw = rng.integers(8, 28, 2)
-        rh, rw = min(rh, h - 1), min(rw, w - 1)  # keep rects inside tiny frames
-        y0 = int(rng.integers(0, h - rh))
-        x0 = int(rng.integers(0, w - rw))
-        noisy[y0:y0 + rh, x0:x0 + rw] = 0.0
-    noisy[rng.random(clean.shape) < 0.01] = 0.0  # speckle holes
-    return (clean.astype(np.uint16), rgb8,
-            np.clip(noisy, 0, 65535).astype(np.uint16))
+    return clean.astype(np.uint16), rgb8, degrade(rng, clean)
 
 
 def write_dataset(root, n_train, n_test, h, w, seed=23):
@@ -133,6 +138,76 @@ def write_dataset(root, n_train, n_test, h, w, seed=23):
         imageio.imwrite(os.path.join(dirs["test_gt"], stem + ".png"), clean)
         put_intr(stem)
     return dirs, intr
+
+
+def write_dataset_sr(root, n_train, n_test, seed=23):
+    """SR-stage dataset at the real pipeline's geometry (ours-only arm).
+
+    Train frames at the ScanNet sensor grid (480x640): A = clean "synthetic"
+    renders, B = degraded "real" sensor frames — the naive SR dataset builds
+    its fixed 960x1280 (+pad 1024) HR canvases from them exactly as it does
+    from ScanNet (data/sr_dataset.py, QUIRKS #19-24). Test scenes are
+    generated at the HR grid (960x1280) as ground truth; the degraded LR
+    sensor view is the [0::2,0::2] subsample + the same sensor degradation.
+    Scoring the LR-grid prediction against the HR target exercises the
+    reference's own SR rule (new_metrics.py:224-225: target[0::2,0::2] when
+    the prediction is half the target)."""
+    import imageio
+
+    rng = np.random.default_rng(seed)
+    dirs = {k: os.path.join(root, k) for k in
+            ["A_depth", "A_img", "B_depth", "B_img",
+             "test_in", "test_img", "test_gt"]}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    intr = os.path.join(root, "intr")
+    h, w = 480, 640
+    fx = 4.5 * w  # same steep-focal conditioning as the main-stage scenes
+
+    def put_intr(stem):
+        d = os.path.join(intr, stem[:12], "intrinsic")
+        os.makedirs(d, exist_ok=True)
+        np.savetxt(os.path.join(d, "intrinsic_depth.txt"),
+                   np.array([[fx, 0, w / 2, 0], [0, fx, h / 2, 0],
+                             [0, 0, 1, 0], [0, 0, 0, 1]]))
+
+    for i in range(n_train):
+        stem = f"scene{i:04d}_00_{i}"
+        clean_a, rgb_a, _ = make_scene(rng, h, w)
+        imageio.imwrite(os.path.join(dirs["A_depth"], stem + ".png"), clean_a)
+        imageio.imwrite(os.path.join(dirs["A_img"], stem + ".png"), rgb_a)
+        clean_b, rgb_b, noisy_b = make_scene(rng, h, w)
+        imageio.imwrite(os.path.join(dirs["B_depth"], stem + ".png"), noisy_b)
+        imageio.imwrite(os.path.join(dirs["B_img"], stem + ".png"), rgb_b)
+        put_intr(stem)
+    for i in range(n_test):
+        stem = f"scene{n_train + i:04d}_00_{n_train + i}"
+        clean_hr, rgb_hr, _ = make_scene(rng, 2 * h, 2 * w)  # HR ground truth
+        lr = degrade(rng, clean_hr[0::2, 0::2].astype(np.float64))
+        imageio.imwrite(os.path.join(dirs["test_gt"], stem + ".png"), clean_hr)
+        imageio.imwrite(os.path.join(dirs["test_in"], stem + ".png"), lr)
+        imageio.imwrite(os.path.join(dirs["test_img"], stem + ".png"),
+                        rgb_hr[0::2, 0::2])
+        put_intr(stem)
+    return dirs, intr
+
+
+def write_bicubic_baseline(dirs, out_dir):
+    """Bicubic 2x upsample of the degraded LR input — the classical SR
+    baseline the trained model must beat on the HR grid."""
+    from glob import glob
+
+    import cv2
+    import imageio
+
+    os.makedirs(out_dir, exist_ok=True)
+    for p in sorted(glob(os.path.join(dirs["test_in"], "*.png"))):
+        lr = np.asarray(imageio.imread(p)).astype(np.float32)
+        hr = cv2.resize(lr, (lr.shape[1] * 2, lr.shape[0] * 2),
+                        interpolation=cv2.INTER_CUBIC)
+        imageio.imwrite(os.path.join(out_dir, os.path.basename(p)),
+                        np.clip(hr, 0, 65535).astype(np.uint16))
+    return out_dir
 
 
 # ------------------------------------------------- reference (torch) arm
@@ -357,6 +432,7 @@ def width_flags(width):
 def _train_argv(dirs, intr, args, name):
     argv = [
         "main.py", "--model_type", "main", "--do_train",
+    ] + (["--SR"] if args.stage == "sr" else []) + [
         "--image_and_depth", "--use_scannet",
         "--use_image_for_trans", "--use_masked", "--norm_loss",
         "--name", name, "--checkpoints_dir", args.ckpt_dir,
@@ -401,13 +477,25 @@ def serve(dirs, args, out_dir, name):
         "desr_predict", os.path.join(REPO_ROOT, "predict.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.main([
+    base = [
         "--name", name, "--checkpoints_dir", args.ckpt_dir,
         "--input_depth", dirs["test_in"], "--input_img", dirs["test_img"],
         "--output", out_dir, "--batch_size", str(args.n_test),
         "--compute_dtype", args.compute_dtype, "--num_devices", "1",
-        "--net_args",
-    ] + width_flags(args.width))
+    ]
+    if args.stage == "sr":
+        # SR serves through the AOT artifact so the quality chain also
+        # covers export -> from_export (desr_tpu/serving.py)
+        export_dir = os.path.join(args.root, "export_" + name)
+        mod.main(base + ["--SR", "--export", export_dir, "--net_args"]
+                 + width_flags(args.width))
+        mod.main(["--from_export", export_dir,
+                  "--input_depth", dirs["test_in"],
+                  "--input_img", dirs["test_img"], "--output", out_dir,
+                  "--batch_size", str(args.n_test),
+                  "--compute_dtype", args.compute_dtype])
+    else:
+        mod.main(base + ["--net_args"] + width_flags(args.width))
 
 
 def score(dirs, pred_dir, intr):
@@ -440,6 +528,12 @@ def main(argv=None):
     p.add_argument("--hw", type=int, nargs=2, default=(128, 128))
     p.add_argument("--compute_dtype", default="float32")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stage", default="main", choices=["main", "sr"],
+                   help="'sr': the x2 SR fine-tune chain at the real pipeline "
+                        "geometry (480x640 sensor frames -> naive-SR 960x1280 "
+                        "canvases; HR ground truth; serving via predict.py "
+                        "--export/--from_export; scored with the reference's "
+                        "[0::2] SR rule + a bicubic-upsample baseline)")
     p.add_argument("--framework", default="ours",
                    choices=["ours", "reference", "both"],
                    help="'both': train OUR framework and the torch reference "
@@ -455,8 +549,21 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    dirs, intr = write_dataset(args.root, args.n_train, args.n_test, *args.hw)
-    baseline = score(dirs, dirs["test_in"], intr)  # degraded input as "pred"
+    extra_scores = {}
+    if args.stage == "sr":
+        if args.framework != "ours":
+            p.error("--stage sr supports --framework ours only (the "
+                    "head-to-head reference arm drives the main stage)")
+        dirs, intr = write_dataset_sr(args.root, args.n_train, args.n_test)
+        # bicubic 2x upsample: the classical SR baseline on the HR grid
+        bic = write_bicubic_baseline(dirs, os.path.join(args.root, "bicubic"))
+        extra_scores["baseline_bicubic"] = score(dirs, bic, intr)
+    else:
+        dirs, intr = write_dataset(args.root, args.n_train, args.n_test,
+                                   *args.hw)
+    # degraded input as "pred"; at the SR stage the LR-vs-HR comparison
+    # exercises the reference's [0::2] subsample rule (new_metrics.py:224)
+    baseline = score(dirs, dirs["test_in"], intr)
 
     arms = {"ours": [args.name], "reference": [args.name + "_ref"],
             "both": [args.name, args.name + "_ref"]}[args.framework]
@@ -479,9 +586,9 @@ def main(argv=None):
     result = {
         "steps": steps, "epochs": args.epochs, "width": args.width,
         "hw": list(args.hw), "n_train": args.n_train, "n_test": args.n_test,
-        "framework": args.framework, "seed": args.seed,
+        "stage": args.stage, "framework": args.framework, "seed": args.seed,
         "shared_init": args._shared_init,
-        "baseline": baseline, **scores,
+        "baseline": baseline, **extra_scores, **scores,
     }
     if "trained" in scores:
         trained = scores["trained"]
