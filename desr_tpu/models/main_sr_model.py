@@ -117,6 +117,8 @@ class MainSRModel(MainModel):
         lr_hw = (opt.crop_size_h, opt.crop_size_w)
         hr_hw = (opt.crop_size_h * 2, opt.crop_size_w * 2)
         remat = _maybe_remat(getattr(opt, "remat", False))
+        # --bf16_tail: see MainModel._forward_fn
+        tail = jnp.bfloat16 if getattr(opt, "bf16_tail", False) else jnp.float32
 
         mesh = self.mesh
 
@@ -144,7 +146,7 @@ class MainSRModel(MainModel):
             syn_mask = DPT.valid_mask(syn_depth, BORDER)
 
             syn2real = ga_ap(params["G_A_d"], batch["A_d"].astype(dtype),
-                             syn_image)[..., 0].astype(jnp.float32)
+                             syn_image)[..., 0].astype(tail)
 
             if g_b_d is not None:
                 # --use_rec_as_real_input (main_sr_model.py:263-265): the real
@@ -157,14 +159,14 @@ class MainSRModel(MainModel):
                 r2s = gb_ap(params["G_B_d"], jnp.concatenate(
                     [batch["B_d"].astype(dtype), real_image], axis=-1))
                 real_input_depth = ga_ap(params["G_A_d"], r2s.astype(dtype),
-                                         real_image)[..., 0].astype(jnp.float32)
+                                         real_image)[..., 0].astype(tail)
             else:
                 real_input_depth = real_depth
 
             def guidance(image):
                 lr_img = resize_bicubic(image.astype(jnp.float32), lr_hw).astype(dtype)
                 feats = i2df_ap(params["I2D_features"], lr_img)
-                dbi = i2d_ap(params["Image2Depth"], feats)[..., 0].astype(jnp.float32)
+                dbi = i2d_ap(params["Image2Depth"], feats)[..., 0].astype(tail)
                 dbi_hr = resize_bicubic_planar(dbi, hr_hw)
                 feats_hr = resize_bicubic(feats.astype(jnp.float32), hr_hw).astype(dtype)
                 return feats_hr, dbi_hr
@@ -208,15 +210,15 @@ class MainSRModel(MainModel):
                 pred_both = task_ap(
                     params["Task"], feats_both, feat_both_d, pair_both,
                     jnp.concatenate([syn_image, real_image], axis=0),
-                )[..., 0].astype(jnp.float32)
+                )[..., 0].astype(tail)
                 pred_syn, pred_real_hr = pred_both[:bsz], pred_both[bsz:]
             else:
                 feat_real_d = depthf_ap(params["Depth_f"], real_pair)
                 pred_real_hr = task_ap(params["Task"], feats_real, feat_real_d,
-                                       real_pair, real_image)[..., 0].astype(jnp.float32)
+                                       real_pair, real_image)[..., 0].astype(tail)
                 feat_syn_d = depthf_ap(params["Depth_f"], syn_pair)
                 pred_syn = task_ap(params["Task"], feats_syn, feat_syn_d,
-                                   syn_pair, syn_image)[..., 0].astype(jnp.float32)
+                                   syn_pair, syn_image)[..., 0].astype(tail)
 
             pred_real = resize_bicubic_planar(pred_real_hr, lr_hw)
 
@@ -237,6 +239,12 @@ class MainSRModel(MainModel):
     def _losses_fn(self):
         opt = self.opt
         lr_hw = (opt.crop_size_h, opt.crop_size_w)
+
+        # --bf16_normals (A/B, VERDICT r3 #7): run the K-normals chain in
+        # bf16 (default fp32, validated < 2e-3 vs the fp64 oracle; bf16 is a
+        # measured-speed A/B, oracles run with it off)
+        norm_dt = (jnp.bfloat16 if getattr(opt, "bf16_normals", False)
+                   else jnp.float32)
 
         def losses(f, batch):
             m = {}
@@ -271,11 +279,11 @@ class MainSRModel(MainModel):
                 # K-based normals (:422-435)
                 K_A, K_B = batch["K_A"], batch["K_B"]
                 crop_A, crop_B = batch["crop_A"], batch["crop_B"]
-                norm_syn = NRM.surface_normals_from_K_planar(syn_depth, K_A, crop_A)
-                norm_syn_pred = NRM.surface_normals_from_K_planar(pred_syn, K_A, crop_A)
-                norm_real_pred = NRM.surface_normals_from_K_planar(pred_real, K_B, crop_B)
+                norm_syn = NRM.surface_normals_from_K_planar(syn_depth, K_A, crop_A, dtype=norm_dt)
+                norm_syn_pred = NRM.surface_normals_from_K_planar(pred_syn, K_A, crop_A, dtype=norm_dt)
+                norm_real_pred = NRM.surface_normals_from_K_planar(pred_real, K_B, crop_B, dtype=norm_dt)
                 # as-shipped: HR real pred normals use K_A/crop_A (:431)
-                norm_real_pred_hr = NRM.surface_normals_from_K_planar(pred_real_hr, K_A, crop_A)
+                norm_real_pred_hr = NRM.surface_normals_from_K_planar(pred_real_hr, K_A, crop_A, dtype=norm_dt)
                 m["tv_syn_norm"] = L.tv_loss_planar(norm_syn_pred) * 1e-7
                 m["tv_real_norm"] = L.tv_loss_planar(norm_real_pred) * 1e-7
                 # as-shipped: syn normals vs HR REAL pred normals, MSE (:434)

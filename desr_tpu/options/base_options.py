@@ -206,6 +206,16 @@ class BaseOptions:
                                  "Norm) so the backward keeps only x as the "
                                  "full-tensor residual, not x AND (x-mean) "
                                  "(A/B switch)")
+        parser.add_argument("--bf16_tail", action="store_true",
+                            help="keep net outputs feeding the loss tail in "
+                                 "bf16 instead of fp32 copies (A/B switch; "
+                                 "loss math still promotes to fp32 against "
+                                 "the fp32 targets — halves the VJP "
+                                 "residuals at the net/loss boundary)")
+        parser.add_argument("--bf16_normals", action="store_true",
+                            help="run the K-based surface-normal chain in "
+                                 "bf16 (A/B switch; default fp32 is "
+                                 "validated < 2e-3 vs the fp64 oracle)")
         parser.add_argument("--no_onepass_stats", action="store_true",
                             help="use two-pass mean/mean-sq InstanceNorm stats "
                                  "instead of the one-pass variadic reduce (A/B switch)")

@@ -121,7 +121,7 @@ def main(argv=None):
             first = sorted(glob.glob(os.path.join(args.input_depth, "*")))
             assert first, f"no depth frames in {args.input_depth}"
             d0 = load_depth_png(first[0])
-            ph, _ = pad_to_multiple(np.zeros(d0.shape[:2], np.float32), 128)
+            ph, _ = pad_to_multiple(np.zeros(d0.shape[:2], np.float32), 256)
             model_argv += ["--crop_size_h", str(ph.shape[0] // 2),
                            "--crop_size_w", str(ph.shape[1] // 2)]
         opt = TrainOptions().parse(model_argv)
@@ -168,7 +168,10 @@ def main(argv=None):
                         f"({exp_h}x{exp_w}); re-export for this size")
                 pads[ax] = (extra // 2, extra - extra // 2)
             return np.pad(arr, pads, mode="reflect"), pads
-        return pad_to_multiple(arr, 128)
+        # SR frames pad to /256: the graph's LR branch runs at half size
+        # and the U-Nets need the /128 grid THERE (README geometry 1024x1280
+        # -> LR 512x640)
+        return pad_to_multiple(arr, 256 if args.SR else 128)
 
     def decode_chunk(i):
         chunk_d = depth_paths[i : i + args.batch_size]
