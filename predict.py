@@ -42,7 +42,9 @@ def pad_to_multiple(arr, mult, axes=(0, 1)):
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--name", required=True)
+    parser.add_argument("--name", default=None,
+                        help="experiment name under --checkpoints_dir "
+                             "(required unless --from_export)")
     parser.add_argument("--checkpoints_dir", default="./checkpoints")
     parser.add_argument("--epoch", default="latest")
     parser.add_argument("--input_depth", required=True)
@@ -75,6 +77,8 @@ def main(argv=None):
     parser.add_argument("--net_args", nargs=argparse.REMAINDER, default=[],
                         help="extra net-architecture flags forwarded to the model")
     args = parser.parse_args(argv)
+    if args.name is None and not args.from_export:
+        parser.error("--name is required unless serving --from_export")
 
     import jax
     import jax.numpy as jnp
