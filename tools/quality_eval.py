@@ -45,12 +45,12 @@ REFERENCE_ROOT = "/root/reference"
 
 # ---------------------------------------------------------------- scene gen
 
-def _lowfreq_field(rng, h, w, n_waves=4, amp=1.0):
+def _lowfreq_field(rng, h, w, n_waves=4, amp=1.0, freq=1.0):
     """Sum of random low-frequency sinusoids in [-amp, amp]-ish."""
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     f = np.zeros((h, w))
     for _ in range(n_waves):
-        fx, fy = rng.uniform(0.3, 2.0, 2) * 2 * np.pi
+        fx, fy = rng.uniform(0.3, 2.0, 2) * 2 * np.pi * freq
         px, py = rng.uniform(0, 2 * np.pi, 2)
         f += rng.uniform(0.3, 1.0) * np.sin(fx * xx / w + px) * np.sin(fy * yy / h + py)
     return amp * f / n_waves
@@ -70,13 +70,19 @@ def degrade(rng, clean):
     return np.clip(noisy, 0, 65535).astype(np.uint16)
 
 
-def make_scene(rng, h, w):
-    """Returns (clean_mm uint16, rgb uint8, degraded_mm uint16)."""
+def make_scene(rng, h, w, freq=1.0):
+    """Returns (clean_mm uint16, rgb uint8, degraded_mm uint16).
+
+    ``freq`` scales the sinusoid frequencies: the SR stage trains on 256x256
+    HR crops of 960x1280 canvases (~1/5 of a default wavelength — near-planar
+    patches that teach nothing), so its scenes carry structure at ~4x the
+    spatial frequency to put full wavelengths inside a training crop."""
     base = rng.uniform(1400, 2600)
-    ramp = (_lowfreq_field(rng, h, w, 2, 600.0)
+    ramp = (_lowfreq_field(rng, h, w, 2, 600.0, freq)
             + rng.uniform(-3, 3) * np.arange(w)[None, :]
             + rng.uniform(-3, 3) * np.arange(h)[:, None])
-    clean = np.clip(base + ramp + _lowfreq_field(rng, h, w, 5, 500.0), 600, 4800)
+    clean = np.clip(base + ramp + _lowfreq_field(rng, h, w, 5, 500.0, freq),
+                    600, 4800)
 
     # Lambertian shade from the depth gradient + low-freq albedo -> RGB that
     # carries geometric signal (the guidance the image branches rely on).
@@ -173,21 +179,38 @@ def write_dataset_sr(root, n_train, n_test, seed=23):
 
     for i in range(n_train):
         stem = f"scene{i:04d}_00_{i}"
-        clean_a, rgb_a, _ = make_scene(rng, h, w)
+        clean_a, rgb_a, _ = make_scene(rng, h, w, freq=4.0)
         imageio.imwrite(os.path.join(dirs["A_depth"], stem + ".png"), clean_a)
         imageio.imwrite(os.path.join(dirs["A_img"], stem + ".png"), rgb_a)
-        clean_b, rgb_b, noisy_b = make_scene(rng, h, w)
+        clean_b, rgb_b, noisy_b = make_scene(rng, h, w, freq=4.0)
         imageio.imwrite(os.path.join(dirs["B_depth"], stem + ".png"), noisy_b)
         imageio.imwrite(os.path.join(dirs["B_img"], stem + ".png"), rgb_b)
         put_intr(stem)
+    import cv2
+
+    dirs["test_in_hr"] = os.path.join(root, "test_in_hr")
+    dirs["test_img_hr"] = os.path.join(root, "test_img_hr")
+    os.makedirs(dirs["test_in_hr"], exist_ok=True)
+    os.makedirs(dirs["test_img_hr"], exist_ok=True)
     for i in range(n_test):
         stem = f"scene{n_train + i:04d}_00_{n_train + i}"
-        clean_hr, rgb_hr, _ = make_scene(rng, 2 * h, 2 * w)  # HR ground truth
+        clean_hr, rgb_hr, _ = make_scene(rng, 2 * h, 2 * w, freq=4.0)  # HR GT
         lr = degrade(rng, clean_hr[0::2, 0::2].astype(np.float64))
+        lr_rgb = rgb_hr[0::2, 0::2]
         imageio.imwrite(os.path.join(dirs["test_gt"], stem + ".png"), clean_hr)
         imageio.imwrite(os.path.join(dirs["test_in"], stem + ".png"), lr)
-        imageio.imwrite(os.path.join(dirs["test_img"], stem + ".png"),
-                        rgb_hr[0::2, 0::2])
+        imageio.imwrite(os.path.join(dirs["test_img"], stem + ".png"), lr_rgb)
+        # serve-side input: the x2 INTER_AREA canvas — what the SR model
+        # trains on (the naive dataset resizes the 480x640 sensor grid to
+        # 960x1280, data/sr_dataset.py) and what the reference's own test
+        # path feeds; raw LR frames are out-of-distribution for the SR graph
+        up = cv2.resize(lr.astype(np.float32), (2 * w, 2 * h),
+                        interpolation=cv2.INTER_AREA)
+        imageio.imwrite(os.path.join(dirs["test_in_hr"], stem + ".png"),
+                        np.clip(up, 0, 65535).astype(np.uint16))
+        imageio.imwrite(os.path.join(dirs["test_img_hr"], stem + ".png"),
+                        cv2.resize(lr_rgb, (2 * w, 2 * h),
+                                   interpolation=cv2.INTER_AREA))
         put_intr(stem)
     return dirs, intr
 
@@ -477,9 +500,11 @@ def serve(dirs, args, out_dir, name):
         "desr_predict", os.path.join(REPO_ROOT, "predict.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    in_d = dirs["test_in_hr"] if args.stage == "sr" else dirs["test_in"]
+    in_i = dirs["test_img_hr"] if args.stage == "sr" else dirs["test_img"]
     base = [
         "--name", name, "--checkpoints_dir", args.ckpt_dir,
-        "--input_depth", dirs["test_in"], "--input_img", dirs["test_img"],
+        "--input_depth", in_d, "--input_img", in_i,
         "--output", out_dir, "--batch_size", str(args.n_test),
         "--compute_dtype", args.compute_dtype, "--num_devices", "1",
     ]
@@ -490,8 +515,8 @@ def serve(dirs, args, out_dir, name):
         mod.main(base + ["--SR", "--export", export_dir, "--net_args"]
                  + width_flags(args.width))
         mod.main(["--from_export", export_dir,
-                  "--input_depth", dirs["test_in"],
-                  "--input_img", dirs["test_img"], "--output", out_dir,
+                  "--input_depth", in_d, "--input_img", in_i,
+                  "--output", out_dir,
                   "--batch_size", str(args.n_test),
                   "--compute_dtype", args.compute_dtype])
     else:
