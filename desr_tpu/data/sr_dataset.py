@@ -55,25 +55,29 @@ class NaiveSRDataset(UnpairedFolderDataset):
         A_path, B_path = self.A_paths[index_A], self.B_paths[index_B]
         A_depth = self.load_depth(A_path, "A")
         B_depth = self.load_depth(B_path, "B")
-        A_img = load_image(self.A_add_paths[index_A])[..., :3].astype(np.float32)
-        B_img = load_image(self.B_add_paths[index_B])[..., :3].astype(np.float32)
+        A_img_raw = load_image(self.A_add_paths[index_A])[..., :3]
+        B_img_raw = load_image(self.B_add_paths[index_B])[..., :3]
         device_half = None
         if self.device_aug_active():
-            # host keeps decode + normalize only; the full-canvas INTER_AREA
-            # resize + pad + crop (the costliest host work at this stage,
-            # PERF.md) runs on device (ops/device_aug.make_sr_finisher). Same
-            # rng draw order as the host path -> identical crop offsets.
-            A_dn, A_in = normalize_pair(A_depth, A_img)
-            B_dn, B_in = normalize_pair(B_depth, B_img)
+            # host keeps DECODE only and ships the raw uint8/uint16 frames
+            # (4x smaller transfers than float32); normalization + the
+            # full-canvas INTER_AREA resize + pad + crop (the costliest host
+            # work at this stage, PERF.md) run on device
+            # (ops/device_aug.make_sr_finisher). Same rng draw order as the
+            # host path -> identical crop offsets.
             h_a, w_a = self._draw_crop(rng)
             h_b, w_b = self._draw_crop(rng)
             device_half = {
-                "A_img_src": A_in, "A_d_src": A_dn,
+                "A_img_src": np.ascontiguousarray(A_img_raw),
+                "A_d_src": A_depth,
                 "A_off": np.array([h_a, w_a], np.int32),
-                "B_img_src": B_in, "B_d_src": B_dn,
+                "B_img_src": np.ascontiguousarray(B_img_raw),
+                "B_d_src": B_depth,
                 "B_off": np.array([h_b, w_b], np.int32),
             }
         else:
+            A_img = A_img_raw.astype(np.float32)
+            B_img = B_img_raw.astype(np.float32)
             A_d, A_i, h_a, w_a = self._transform_pair(rng, A_depth, A_img)
             B_d, B_i, h_b, w_b = self._transform_pair(rng, B_depth, B_img)
         K_B = self.get_intrinsics(B_path)

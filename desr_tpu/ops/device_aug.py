@@ -307,17 +307,18 @@ def make_sr_finisher(load_h, load_w, pad_h, pad_w, out_h, out_w):
     The SR host chain has no rotate/flip/jitter; its cost is the full-canvas
     resize + pad (normalize -> INTER_AREA resize to 960x1280 -> REFLECT_101
     pad to 1024x1280 -> random crop, my_naive_sr_dataset.py:56-89). Under
-    --device_aug the host ships the DECODED native-size frames (normalized,
-    a few hundred KB) and the canvas work runs here: cv2-exact INTER_AREA
-    matmul resize (ops/resize.resize_cv2_inter_area), reflect pad, per-item
-    dynamic_slice crop at HOST-drawn offsets (the same rng stream as the
-    host path, so the augmentation distribution is unchanged), post-crop
-    clip — matching the host chain's op order exactly.
+    --device_aug the host ships the DECODED raw uint8/uint16 frames (4x
+    smaller than float32) and everything else runs here: normalization
+    (exact transforms.normalize_{image,depth}_np semantics, dtype-branched),
+    cv2-exact INTER_AREA matmul resize (ops/resize.resize_cv2_inter_area),
+    reflect pad, per-item dynamic_slice crop at HOST-drawn offsets (the same
+    rng stream as the host path, so the augmentation distribution is
+    unchanged), post-crop clip — matching the host chain's op order exactly.
 
-    Takes (B, Hi, Wi, 3) images + (B, Hd, Wd) depths per domain plus (B, 2)
-    int32 crop offsets; returns the standard model input keys at crop size.
-    One compiled variant per distinct source geometry (datasets are
-    homogeneous per source in practice).
+    Takes (B, Hi, Wi, 3) uint8 images + (B, Hd, Wd) int/float depths per
+    domain plus (B, 2) int32 crop offsets; returns the standard model input
+    keys at crop size. One compiled variant per distinct source
+    geometry/dtype (datasets are homogeneous per source in practice).
     """
     from desr_tpu.ops.resize import resize_cv2_inter_area
 
@@ -328,7 +329,19 @@ def make_sr_finisher(load_h, load_w, pad_h, pad_w, out_h, out_w):
         right = pad_w - cols - left if cols < pad_w else 0
         return (top, bot), (left, right)
 
+    def norm_depth(d):
+        # transforms.normalize_depth_np (my_main_dataset.py:38-52): int mm
+        # sources clip at 5100; float sources also zero the <0.33 tail
+        if jnp.issubdtype(d.dtype, jnp.integer):
+            x = jnp.minimum(d.astype(jnp.float32), 5100.0) / 5100.0
+        else:
+            x = jnp.where(d < 0.33, jnp.float32(0), d.astype(jnp.float32))
+            x = jnp.minimum(x, 5100.0) / 5100.0
+        return x * 2.0 - 1.0
+
     def canvas(img, depth):
+        img = (img.astype(jnp.float32) - 127.5) / 127.5  # normalize_image_np
+        depth = norm_depth(depth)
         img = resize_cv2_inter_area(img, (load_h, load_w))
         depth = resize_cv2_inter_area(depth[..., None], (load_h, load_w))
         full = jnp.concatenate([img, depth], axis=-1)

@@ -453,6 +453,7 @@ def width_flags(width):
 
 
 def _train_argv(dirs, intr, args, name):
+    lh, lw = getattr(args, "_load_hw", args.hw)
     argv = [
         "main.py", "--model_type", "main", "--do_train",
     ] + (["--SR"] if args.stage == "sr" else []) + [
@@ -466,7 +467,7 @@ def _train_argv(dirs, intr, args, name):
         "--compute_dtype", args.compute_dtype,
         "--lr", str(args.lr),
         "--n_epochs", str(args.epochs), "--n_epochs_decay", "0",
-        "--load_size_h", str(args.hw[0]), "--load_size_w", str(args.hw[1]),
+        "--load_size_h", str(lh), "--load_size_w", str(lw),
         "--crop_size_h", str(args.hw[0]), "--crop_size_w", str(args.hw[1]),
         "--save_epoch_freq", str(args.epochs), "--print_freq",
         str(args.batch_size * 8), "--num_threads", "1",
@@ -474,6 +475,8 @@ def _train_argv(dirs, intr, args, name):
     ] + width_flags(args.width)
     if getattr(args, "_shared_init", False):
         argv += ["--continue_train", "--epoch", "init"]
+    if getattr(args, "_continue_latest", False):
+        argv += ["--continue_train", "--epoch", "latest"]
     return argv
 
 
@@ -600,6 +603,22 @@ def main(argv=None):
     for arm in arms:
         if arm.endswith("_ref"):
             train_reference(dirs, intr, args, arm)
+        elif args.stage == "sr":
+            # the reference's SR stage is a FINE-TUNE of trained main-stage
+            # weights (README: --continue_train, lr 2e-5 = main's /10) — its
+            # x5/x2 loss weights are tuned for that and the stage does not
+            # train from random init (measured: 1200 from-scratch steps leave
+            # predictions uncorrelated with the input). Reproduce the real
+            # pipeline: main-stage pretrain on the same folders, then SR
+            # fine-tune continues from the handoff checkpoints.
+            pre = copy.copy(args)
+            pre.stage = "main"
+            pre._load_hw = (240, 320)  # random 128^2 crops of the 480x640 scenes
+            train(dirs, intr, pre, arm)
+            ft = copy.copy(args)
+            ft.lr = args.lr * 0.1  # the README's main->SR lr ratio
+            ft._continue_latest = True
+            train(dirs, intr, ft, arm)
         else:
             train(dirs, intr, args, arm)
         pred_dir = os.path.join(args.root, "pred_" + arm)
