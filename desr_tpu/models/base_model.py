@@ -158,6 +158,23 @@ class BaseModel:
 
         return self.jit_train(train_scan)
 
+    # --direction BtoA swaps the syn<->real domains at set_input: the
+    # reference binds syn_* to A_* keys iff direction == 'AtoB'
+    # (I2D_model.py:152-159, main_model.py:187-194, main_sr_model.py:210-217).
+    # ONLY the image/depth tensors swap — K_A/K_B/crop_*/A_paths/B_paths stay
+    # bound to their literal keys in all three models (main_model.py:196-199),
+    # and the translation model ignores the flag entirely.
+    _DIRECTION_SWAP = {"A_i": "B_i", "B_i": "A_i", "A_d": "B_d", "B_d": "A_d"}
+
+    def apply_direction(self, batch):
+        if getattr(self.opt, "direction", "AtoB") == "AtoB":
+            return batch
+        out = dict(batch)
+        for dst, src in self._DIRECTION_SWAP.items():
+            if src in batch:
+                out[dst] = batch[src]
+        return out
+
     def supports_multi_step(self):
         """Whether optimize_parameters_multi may be used (see trainer loop)."""
         return getattr(self, "_train_scan", None) is not None
@@ -171,7 +188,8 @@ class BaseModel:
         """
         keys = getattr(self, "_input_keys", None)
         if keys:
-            batches = [{k: b[k] for k in keys} for b in batches]
+            batches = [{k: b[k] for k in keys}
+                       for b in map(self.apply_direction, batches)]
         stacked = shard_batch_steps(batches, self.mesh)
         self.params, self.opt_state_G, m, new_rng = self._train_scan(
             self.params, self.opt_state_G, stacked, self.step_rng(), self.lr_scalar())

@@ -126,6 +126,18 @@ class I2DModel(BaseModel):
                        features_real=feats_real)
             return loss_g, (m, vis)
 
+        # reference backward_features (I2D_model.py:203-208, wired at :239-241):
+        # under --use_D the G update also backprops the UNWEIGHTED loss_G_pred
+        # = GAN(D(features_real), True) through the frozen D into Image_f
+        # (w_syn_adv scales only the *reported* loss_G_p at :206; the backward
+        # at :208 takes the raw term). The as-shipped optimizer covers Task
+        # only (:143), for which that gradient is a silent no-op — so the term
+        # is materialized only when Image_f is actually trainable
+        # (--i2d_train_features), where it changes the update exactly as the
+        # reference's two accumulating .backward() calls would.
+        adv_net = (self.nets["D_depth"]
+                   if opt.use_D and "Image_f" in g_nets else None)
+
         def train_step(params, opt_state, batch, rng, lr):
             next_rng, use_rng = jax.random.split(rng)
             trains, auxs = {}, {}
@@ -137,7 +149,18 @@ class I2DModel(BaseModel):
                 full = {n: dict(trains[n], **auxs[n]) for n in self.model_names}
                 for n in g_nets:
                     full[n] = dict(g_train_params[n], **auxs[n])
-                return losses(full, batch, use_rng, True)
+                if adv_net is None:
+                    return losses(full, batch, use_rng, True)
+                loss_g, (m, vis) = losses(full, batch, use_rng, True)
+                # D params come from the closure (trains/auxs), not from
+                # g_train_params -> constant under this grad, i.e. the
+                # reference's set_requires_grad([netD_depth], False). BatchNorm
+                # running-stat side effects of this extra D call are not
+                # replayed (instance-norm default has none).
+                pr = adv_net.apply(full["D_depth"], vis["features_real"],
+                                   Ctx(train=True, dtype=dtype)).astype(jnp.float32)
+                loss_g = loss_g + L.gan_loss(pr, True, opt.gan_mode)
+                return loss_g, (m, vis)
 
             (loss_g, (m, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_train)
             new_g, new_opt = adam_update(grads, opt_state, g_train, lr,
@@ -199,6 +222,7 @@ class I2DModel(BaseModel):
     _input_keys = ["A_i", "B_i", "A_d", "B_d"]
 
     def set_input(self, batch):
+        batch = self.apply_direction(batch)
         self._batch = self.shard({k: batch[k] for k in self._input_keys})
         self._paths = {"A_paths": batch.get("A_paths"), "B_paths": batch.get("B_paths")}
 

@@ -432,6 +432,7 @@ class MainModel(BaseModel):
     _input_keys = ["A_i", "B_i", "A_d", "B_d", "K_A", "K_B", "crop_A", "crop_B"]
 
     def set_input(self, batch):
+        batch = self.apply_direction(batch)
         self._batch = self.shard({k: batch[k] for k in self._input_keys})
         self._paths = {"A_paths": batch.get("A_paths"), "B_paths": batch.get("B_paths")}
 

@@ -67,6 +67,69 @@ def test_i2d_eval_and_visuals(model):
     assert vis["pred_real_depth"].min() >= -1.0 and vis["pred_real_depth"].max() <= 1.0
 
 
+def _fresh(extra=(), seed_batch=7, h=64, w=64):
+    from desr_tpu.models.i2d_model import I2DModel
+
+    m = I2DModel(make_opt(extra))
+    m.setup()
+    m.set_input(fake_batch(h=h, w=w, seed=seed_batch))
+    return m
+
+
+def test_i2d_direction_btoa_swaps_domains():
+    # reference I2D_model.py:152-159: --direction BtoA binds syn_* to B_* and
+    # real_* to A_*; feeding the BtoA model must equal feeding the AtoB model
+    # a hand-swapped batch.
+    batch = fake_batch(h=64, w=64, seed=11)
+    swapped = dict(batch, A_i=batch["B_i"], B_i=batch["A_i"],
+                   A_d=batch["B_d"], B_d=batch["A_d"])
+    m_btoa = _fresh(["--direction", "BtoA"])
+    m_atob = _fresh()
+    m_btoa.set_input(batch)
+    m_atob.set_input(swapped)
+    m_btoa.calculate(stage="test")
+    m_atob.calculate(stage="test")
+    for k in ("task_syn", "task_real"):
+        assert float(m_btoa.metrics[k]) == float(m_atob.metrics[k])
+    np.testing.assert_array_equal(
+        np.asarray(m_btoa.visuals["pred_real_depth"]),
+        np.asarray(m_atob.visuals["pred_real_depth"]))
+
+
+def test_i2d_use_d_g_term_is_noop_for_task_only_optimizer():
+    # reference backward_features (I2D_model.py:203-208): the adversarial
+    # gradient lands in Image_f, which the as-shipped Task-only optimizer
+    # (:143) never applies — so one G step with/without --use_D must produce
+    # byte-identical Task params.
+    m_plain = _fresh()
+    m_d = _fresh(["--use_D"])
+    m_plain.optimize_parameters(2)
+    m_d.optimize_parameters(2)
+    for k in m_plain.params["Task"]:
+        np.testing.assert_array_equal(np.asarray(m_plain.params["Task"][k]),
+                                      np.asarray(m_d.params["Task"][k]))
+
+
+def test_i2d_use_d_adv_term_reaches_exactly_image_f():
+    # with --i2d_train_features the unweighted loss_G_pred term changes the
+    # Image_f update (it flows D -> features_real -> Image_f) but NOT the
+    # Task update (Task is not upstream of features_real), mirroring the
+    # reference's two accumulating .backward() calls (I2D_model.py:239-243).
+    m_nod = _fresh(["--i2d_train_features"])
+    m_d = _fresh(["--use_D", "--i2d_train_features"])
+    m_nod.optimize_parameters(2)
+    m_d.optimize_parameters(2)
+    for k in m_nod.params["Task"]:
+        np.testing.assert_array_equal(np.asarray(m_nod.params["Task"][k]),
+                                      np.asarray(m_d.params["Task"][k]))
+    diff = max(
+        float(np.abs(np.asarray(m_nod.params["Image_f"][k])
+                     - np.asarray(m_d.params["Image_f"][k])).max())
+        for k in m_nod.params["Image_f"]
+        if np.asarray(m_nod.params["Image_f"][k]).dtype.kind == "f")
+    assert diff > 0.0, "adversarial term should alter the Image_f update"
+
+
 def test_i2d_checkpoint_roundtrip(model, tmp_path):
     model.opt.checkpoints_dir = str(tmp_path)
     model.save_networks("latest")
