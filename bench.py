@@ -109,6 +109,34 @@ def main():
 
     pairs_per_sec_chip = batch / dt / n_chips
 
+    # Modeled vs-reference ratio (BASELINE.md §2, driver-visible): the SR
+    # step is memory-bound, so any implementation's per-chip ceiling is
+    # HBM_bandwidth / bytes_per_step. The reference's byte budget is a fixed
+    # property of ITS program — fp32 end-to-end (no amp anywhere in the
+    # reference) over the same computation — modeled as 2x the 363 GB/step
+    # XLA counted for OUR bf16 program BEFORE any TPU-specific byte
+    # optimization (round-1 cost analysis, PERF.md; the campaigns since cut
+    # ours to ~221 GB, a saving the torch reference does not get). On a V100
+    # (900 GB/s) its roofline-best is 900e9/726e9 ~= 1.24 pairs/s; the ratio
+    # EXCLUDES its measured-in-code host hole-synthesis and DataParallel
+    # losses, so it is a lower bound on the real gap.
+    REF_V100_BOUND_PAIRS_S = 900e9 / (2.0 * 363e9)
+    vs_reference_modeled = round(pairs_per_sec_chip / REF_V100_BOUND_PAIRS_S, 4)
+
+    # Our CURRENT roofline position, from XLA's cost analysis of the live
+    # executable (sub-second with the default-on persistent compile cache);
+    # tracks today's byte budget so the artifact self-updates per round.
+    hbm_util_pct = None
+    try:
+        ca = model.lower_train_step().compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        step_bytes = float(ca.get("bytes accessed", 0.0))
+        if step_bytes > 0:  # global program bytes over n_chips' aggregate BW
+            hbm_util_pct = round(100.0 * (step_bytes / dt) / (819e9 * n_chips), 1)
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):
         try:
@@ -122,12 +150,17 @@ def main():
             json.dump({"value": pairs_per_sec_chip,
                        "desc": "round-1 SR train-step pairs/sec/chip"}, f)
 
-    print(json.dumps({
+    out = {
         "metric": "sr_train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec_chip, 4),
         "unit": "RGB-D pairs/sec/chip (512x640 LR -> 1024x1280 HR train step)",
         "vs_baseline": round(vs_baseline, 4),
-    }))
+    }
+    # > 1.0 = faster than the reference's V100 roofline-best (see comment)
+    out["vs_reference_modeled"] = vs_reference_modeled
+    if hbm_util_pct is not None:
+        out["hbm_util_pct"] = hbm_util_pct
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

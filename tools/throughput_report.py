@@ -215,6 +215,13 @@ def main():
     result = {
         "device_kind": jax.devices()[0].device_kind,
         "backend": jax.default_backend(),
+        "cost_model_caveat": (
+            "flops/bytes are XLA cost-analysis estimates of the compiled "
+            "program; 'bytes accessed' counts each fusion operand at full "
+            "size even when the fusion reads a slice, so *_util_pct can "
+            "overcount (translation's composite row exceeding 100% HBM is "
+            "this bias, not measurement error). s_per_step and "
+            "items_per_s_per_chip are measured ground truth."),
         "n_chips": n_chips,
         "assumed_peak_tflops_bf16": args.peak_tflops,
         "assumed_hbm_gbps": args.hbm_gbps,
