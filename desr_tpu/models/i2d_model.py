@@ -76,12 +76,16 @@ class I2DModel(BaseModel):
 
     # -- steps ---------------------------------------------------------------
 
-    def _post_setup(self):
+    def _forward_fn(self):
+        """The pure forward: (feats_syn, feats_real, pred_syn, pred_real).
+
+        Exposed (like MainModel._forward_fn) so predict.py --I2D can build a
+        pruned serving graph — returning only pred_real lets XLA dead-code-
+        eliminate the entire syn branch under --no_batched_branches.
+        """
         opt = self.opt
         dtype = self.compute_dtype
         image_f, task = self.nets["Image_f"], self.nets["Task"]
-        g_nets = list(self._g_trainable_nets)
-
         mesh = self.mesh
 
         def forward(params, batch, rng, train):
@@ -102,6 +106,14 @@ class I2DModel(BaseModel):
             pred_syn = task.apply(params["Task"], feats_syn, ctx).astype(jnp.float32)
             pred_real = task.apply(params["Task"], feats_real, ctx).astype(jnp.float32)
             return feats_syn, feats_real, pred_syn, pred_real
+
+        return forward
+
+    def _post_setup(self):
+        opt = self.opt
+        dtype = self.compute_dtype
+        g_nets = list(self._g_trainable_nets)
+        forward = self._forward_fn()
 
         def losses(params, batch, rng, train):
             feats_syn, feats_real, pred_syn, pred_real = forward(params, batch, rng, train)

@@ -47,10 +47,18 @@ def main(argv=None):
                              "(required unless --from_export)")
     parser.add_argument("--checkpoints_dir", default="./checkpoints")
     parser.add_argument("--epoch", default="latest")
-    parser.add_argument("--input_depth", required=True)
+    parser.add_argument("--input_depth", default=None,
+                        help="depth frames folder (required except --I2D, "
+                             "which predicts from RGB alone)")
     parser.add_argument("--input_img", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument("--SR", action="store_true")
+    parser.add_argument("--I2D", action="store_true",
+                        help="serve the stage-1 Image-Guidance nets instead: "
+                             "depth predicted from RGB only (loads "
+                             "latest_net_Image_f/_Task; reference "
+                             "I2D_model.py has no serving path — its only "
+                             "dump is the row-cropped --save_all quirk)")
     parser.add_argument("--batch_size", type=int, default=8,
                         help="frames per device dispatch; batching amortizes "
                              "the per-call dispatch + layout-conversion "
@@ -79,6 +87,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.name is None and not args.from_export:
         parser.error("--name is required unless serving --from_export")
+    if args.I2D and (args.SR or args.export or args.from_export):
+        parser.error("--I2D is a standalone mode (no --SR/--export/--from_export)")
+    if args.input_depth is None and not args.I2D:
+        parser.error("--input_depth is required (omit only with --I2D)")
 
     import jax
     import jax.numpy as jnp
@@ -102,7 +114,7 @@ def main(argv=None):
     else:
         exp_h = exp_w = None
         model_argv = [
-            "--model_type", "main", "--name", args.name,
+            "--model_type", "I2D" if args.I2D else "main", "--name", args.name,
             "--checkpoints_dir", args.checkpoints_dir,
             "--use_image_for_trans", "--use_masked",
             "--compute_dtype", args.compute_dtype,
@@ -132,22 +144,31 @@ def main(argv=None):
 
         if args.SR:
             from desr_tpu.models.main_sr_model import MainSRModel as Model
+        elif args.I2D:
+            from desr_tpu.models.i2d_model import I2DModel as Model
         else:
             from desr_tpu.models.main_model import MainModel as Model
         model = Model(opt)
         model.setup()
         forward = model._forward_fn()
-        key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
         # return ONLY the real-branch prediction: XLA dead-code-eliminates the
-        # whole synthetic branch (translator G_A_d + pred_syn head) that the
-        # train-time forward computes for the loss zoo — roughly half the
-        # serving FLOPs — and the transfer pulls one tensor, not the full dict
-        fwd = jax.jit(lambda p, b, r: forward(p, b, r, False)[key])
+        # whole synthetic branch (translator G_A_d + pred_syn head for main;
+        # the syn Image_f/Task pass for I2D) that the train-time forward
+        # computes for the loss zoo — roughly half the serving FLOPs — and
+        # the transfer pulls one tensor, not the full dict
+        if args.I2D:  # I2D forward returns a tuple; [3] = pred_real (B,H,W,1)
+            fwd = jax.jit(lambda p, b, r: forward(p, b, r, False)[3][..., 0])
+        else:
+            key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
+            fwd = jax.jit(lambda p, b, r: forward(p, b, r, False)[key])
         rng0 = jax.random.PRNGKey(0)
         run = lambda batch: fwd(model.params, model.shard(batch), rng0)
 
-    depth_paths = sorted(glob.glob(os.path.join(args.input_depth, "*")))
     img_paths = sorted(glob.glob(os.path.join(args.input_img, "*")))
+    if args.input_depth is None:  # --I2D from RGB alone: stems from images
+        depth_paths = img_paths
+    else:
+        depth_paths = sorted(glob.glob(os.path.join(args.input_depth, "*")))
     assert len(depth_paths) == len(img_paths), "depth/img folder size mismatch"
     os.makedirs(args.output, exist_ok=True)
 
@@ -182,8 +203,11 @@ def main(argv=None):
         chunk_i = img_paths[i : i + args.batch_size]
         depths, imgs, pad_infos, stems = [], [], [], []
         for dp, ip in zip(chunk_d, chunk_i):
-            d = normalize_depth_np(load_depth_png(dp), args.max_distance)
             im = normalize_image_np(load_image(ip)[..., :3].astype(np.float32))
+            if args.input_depth is None:  # --I2D: no depth input; the jitted
+                d = np.zeros(im.shape[:2], np.float32)  # graph DCEs A_d/B_d
+            else:
+                d = normalize_depth_np(load_depth_png(dp), args.max_distance)
             d, pads = pad_frame(d)
             im, _ = pad_frame(im)
             depths.append(d[..., None])

@@ -74,3 +74,35 @@ def test_predict_sr_folder(tmp_path):
     assert pred.dtype == np.uint16
     assert pred.shape == (200, 200)
     assert pred.max() <= 5100
+
+
+def test_predict_i2d_folder(tmp_path):
+    """--I2D serving: depth from RGB alone (no --input_depth) through the
+    stage-1 Image-Guidance nets. The reference has no I2D serving path at
+    all (its only dump is the row-cropped --save_all quirk,
+    I2D_model.py:170-181); this covers our predict.py extension."""
+    import imageio
+
+    rng = np.random.default_rng(0)
+    di = tmp_path / "img"
+    out = tmp_path / "out"
+    os.makedirs(di)
+    for i in range(3):
+        imageio.imwrite(di / f"f{i}.png",
+                        rng.integers(0, 255, (100, 140, 3)).astype(np.uint8))
+
+    import predict
+
+    predict.main([
+        "--name", "pred_i2d_test", "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--input_img", str(di), "--output", str(out),
+        "--batch_size", "2", "--compute_dtype", "float32", "--I2D",
+        "--net_args", "--Imagef_outf", "8", "--Imagef_basef", "8",
+        "--Task_basef", "8",
+    ])
+    files = sorted(os.listdir(out))
+    assert files == ["f0.png", "f1.png", "f2.png"]
+    pred = imageio.imread(out / "f0.png")
+    assert pred.dtype == np.uint16
+    assert pred.shape == (100, 140)  # padding cropped back off
+    assert pred.max() <= 5100
