@@ -65,3 +65,30 @@ def test_quality_eval_chain(tmp_path, capsys):
     ours_init = os.path.join(str(tmp_path), "ckpt", "qeval", "init_net_Task.pth")
     ref_init = os.path.join(str(tmp_path), "ckpt", "qeval_ref", "init_net_Task.pth")
     assert os.path.exists(ours_init) and os.path.exists(ref_init)
+
+
+def test_quality_eval_i2d_chain(tmp_path):
+    """--stage i2d: dataset gen (fixed 480x640 geometry) -> I2D training ->
+    predict.py --I2D serving from RGB alone -> scoring, plus the constant
+    train-mean-depth baseline row (the scale-free monocular floor)."""
+    import quality_eval as qe
+
+    res = qe.main([
+        "--root", str(tmp_path), "--epochs", "1", "--n_train", "2",
+        "--n_test", "2", "--batch_size", "2", "--width", "8",
+        "--platform", "native",  # conftest already forces CPU
+        "--stage", "i2d",
+    ])
+    assert res["stage"] == "i2d" and res["hw"] == [480, 640]
+    for split in ("baseline", "baseline_mean", "trained"):
+        m = res[split]
+        assert set(m) >= {"rmse", "mae", "rmse_h", "rmse_d", "psnr", "ssim",
+                          "mae_h", "mae_d", "mse_v"}
+        for k, v in m.items():
+            assert np.isfinite(v), (split, k, v)
+    # the mean baseline has NO holes (constant > 0): its hole-metric rows
+    # score the constant against the GT under the input's hole mask
+    assert res["baseline_mean"]["rmse_h"] < res["baseline"]["rmse_h"]
+    # predictions written at the scene geometry for every test frame
+    preds = os.listdir(os.path.join(str(tmp_path), "pred_qeval"))
+    assert len(preds) == 2

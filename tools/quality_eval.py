@@ -233,6 +233,28 @@ def write_bicubic_baseline(dirs, out_dir):
     return out_dir
 
 
+def write_mean_baseline(dirs, out_dir):
+    """Constant train-mean depth as the prediction — the scale-free floor.
+
+    A monocular depth-from-RGB predictor that learned nothing but the dataset
+    depth level scores exactly this; the trained I2D stage must beat it on the
+    structure-sensitive metrics (rmse/ssim/mse_v) to demonstrate the RGB
+    actually informs the geometry."""
+    from glob import glob
+
+    import imageio
+
+    os.makedirs(out_dir, exist_ok=True)
+    trains = sorted(glob(os.path.join(dirs["A_depth"], "*.png")))
+    mean = float(np.mean([np.asarray(imageio.imread(p), np.float64).mean()
+                          for p in trains]))
+    for p in sorted(glob(os.path.join(dirs["test_in"], "*.png"))):
+        shp = np.asarray(imageio.imread(p)).shape
+        imageio.imwrite(os.path.join(out_dir, os.path.basename(p)),
+                        np.full(shp, mean, np.float64).astype(np.uint16))
+    return out_dir
+
+
 # ------------------------------------------------- reference (torch) arm
 
 def _install_albu_shim():
@@ -445,14 +467,36 @@ def train_reference(dirs, intr, args, name):
 
 # ---------------------------------------------------------------- pipeline
 
-def width_flags(width):
+def width_flags(width, stage="main"):
     w = str(width)
+    if stage == "i2d":
+        return ["--Imagef_outf", w, "--Imagef_basef", w, "--Task_basef", w]
     return ["--ImageDepthf_outf", w, "--ImageDepthf_basef", w,
             "--Depthf_outf", w, "--Depthf_basef", w,
             "--I2D_base", w, "--Task_basef", w]
 
 
 def _train_argv(dirs, intr, args, name):
+    if args.stage == "i2d":
+        # stage-1 Image Guidance: fixed dataset geometry (480x640 ->
+        # crop 384x512, data/i2d_dataset.py), masked L1 on both domains;
+        # as-shipped the optimizer covers ONLY Task (QUIRKS #2) unless
+        # --i2d_train_features
+        return [
+            "main.py", "--model_type", "I2D", "--do_train",
+            "--image_and_depth", "--use_scannet", "--norm_loss",
+            "--name", name, "--checkpoints_dir", args.ckpt_dir,
+            "--path_A", dirs["A_depth"], "--A_add_paths", dirs["A_img"],
+            "--path_B", dirs["B_depth"], "--B_add_paths", dirs["B_img"],
+            "--batch_size", str(args.batch_size),
+            "--compute_dtype", args.compute_dtype,
+            "--lr", str(args.lr),
+            "--n_epochs", str(args.epochs), "--n_epochs_decay", "0",
+            "--save_epoch_freq", str(args.epochs), "--print_freq",
+            str(args.batch_size * 8), "--num_threads", "1",
+            "--seed", str(args.seed),
+        ] + (["--i2d_train_features"] if args.i2d_train_features else []) \
+          + width_flags(args.width, "i2d")
     lh, lw = getattr(args, "_load_hw", args.hw)
     argv = [
         "main.py", "--model_type", "main", "--do_train",
@@ -505,6 +549,15 @@ def serve(dirs, args, out_dir, name):
     spec.loader.exec_module(mod)
     in_d = dirs["test_in_hr"] if args.stage == "sr" else dirs["test_in"]
     in_i = dirs["test_img_hr"] if args.stage == "sr" else dirs["test_img"]
+    if args.stage == "i2d":
+        # depth from RGB alone: predict.py --I2D takes no --input_depth
+        mod.main([
+            "--name", name, "--checkpoints_dir", args.ckpt_dir,
+            "--input_img", in_i, "--output", out_dir,
+            "--batch_size", str(args.n_test),
+            "--compute_dtype", args.compute_dtype, "--num_devices", "1",
+            "--I2D", "--net_args"] + width_flags(args.width, "i2d"))
+        return
     base = [
         "--name", name, "--checkpoints_dir", args.ckpt_dir,
         "--input_depth", in_d, "--input_img", in_i,
@@ -556,12 +609,20 @@ def main(argv=None):
     p.add_argument("--hw", type=int, nargs=2, default=(128, 128))
     p.add_argument("--compute_dtype", default="float32")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--stage", default="main", choices=["main", "sr"],
+    p.add_argument("--stage", default="main", choices=["main", "sr", "i2d"],
                    help="'sr': the x2 SR fine-tune chain at the real pipeline "
                         "geometry (480x640 sensor frames -> naive-SR 960x1280 "
                         "canvases; HR ground truth; serving via predict.py "
                         "--export/--from_export; scored with the reference's "
-                        "[0::2] SR rule + a bicubic-upsample baseline)")
+                        "[0::2] SR rule + a bicubic-upsample baseline); "
+                        "'i2d': the stage-1 depth-from-RGB chain (fixed "
+                        "480x640 dataset geometry, serving via predict.py "
+                        "--I2D from the test RGB alone, plus a constant "
+                        "train-mean-depth baseline — the scale-free floor "
+                        "any monocular predictor must beat)")
+    p.add_argument("--i2d_train_features", action="store_true",
+                   help="i2d stage: also train Image_f (the as-shipped "
+                        "reference optimizes ONLY Task, QUIRKS #2)")
     p.add_argument("--framework", default="ours",
                    choices=["ours", "reference", "both"],
                    help="'both': train OUR framework and the torch reference "
@@ -578,14 +639,22 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     extra_scores = {}
+    if args.stage in ("sr", "i2d") and args.framework != "ours":
+        p.error("--stage %s supports --framework ours only (the "
+                "head-to-head reference arm drives the main stage)"
+                % args.stage)
     if args.stage == "sr":
-        if args.framework != "ours":
-            p.error("--stage sr supports --framework ours only (the "
-                    "head-to-head reference arm drives the main stage)")
         dirs, intr = write_dataset_sr(args.root, args.n_train, args.n_test)
         # bicubic 2x upsample: the classical SR baseline on the HR grid
         bic = write_bicubic_baseline(dirs, os.path.join(args.root, "bicubic"))
         extra_scores["baseline_bicubic"] = score(dirs, bic, intr)
+    elif args.stage == "i2d":
+        # the I2D dataset's geometry is fixed (480x640, data/i2d_dataset.py)
+        args.hw = (480, 640)
+        dirs, intr = write_dataset(args.root, args.n_train, args.n_test,
+                                   *args.hw)
+        mean_dir = write_mean_baseline(dirs, os.path.join(args.root, "mean"))
+        extra_scores["baseline_mean"] = score(dirs, mean_dir, intr)
     else:
         dirs, intr = write_dataset(args.root, args.n_train, args.n_test,
                                    *args.hw)
