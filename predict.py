@@ -59,6 +59,12 @@ def main(argv=None):
                              "latest_net_Image_f/_Task; reference "
                              "I2D_model.py has no serving path — its only "
                              "dump is the row-cropped --save_all quirk)")
+    parser.add_argument("--translate", default=None, choices=["AtoB", "BtoA"],
+                        help="serve the stage-2 translation nets instead: "
+                             "AtoB applies G_A (syn/HQ -> real/LQ degrader), "
+                             "BtoA applies G_B (real/LQ -> syn/HQ) to each "
+                             "RGB-D frame (loads latest_net_G_A/_G_B; the "
+                             "reference has no translation inference path)")
     parser.add_argument("--batch_size", type=int, default=8,
                         help="frames per device dispatch; batching amortizes "
                              "the per-call dispatch + layout-conversion "
@@ -89,6 +95,9 @@ def main(argv=None):
         parser.error("--name is required unless serving --from_export")
     if args.I2D and (args.SR or args.export or args.from_export):
         parser.error("--I2D is a standalone mode (no --SR/--export/--from_export)")
+    if args.translate and (args.SR or args.I2D or args.export or args.from_export):
+        parser.error("--translate is a standalone mode "
+                     "(no --SR/--I2D/--export/--from_export)")
     if args.input_depth is None and not args.I2D:
         parser.error("--input_depth is required (omit only with --I2D)")
 
@@ -113,8 +122,10 @@ def main(argv=None):
         run = lambda batch: exp_fn(exp_params, batch, 0)
     else:
         exp_h = exp_w = None
+        model_type = ("translation" if args.translate
+                      else "I2D" if args.I2D else "main")
         model_argv = [
-            "--model_type", "I2D" if args.I2D else "main", "--name", args.name,
+            "--model_type", model_type, "--name", args.name,
             "--checkpoints_dir", args.checkpoints_dir,
             "--use_image_for_trans", "--use_masked",
             "--compute_dtype", args.compute_dtype,
@@ -146,19 +157,29 @@ def main(argv=None):
             from desr_tpu.models.main_sr_model import MainSRModel as Model
         elif args.I2D:
             from desr_tpu.models.i2d_model import I2DModel as Model
+        elif args.translate:
+            from desr_tpu.models.translation_model import TranslationModel as Model
         else:
             from desr_tpu.models.main_model import MainModel as Model
         model = Model(opt)
         model.setup()
-        forward = model._forward_fn()
         # return ONLY the real-branch prediction: XLA dead-code-eliminates the
         # whole synthetic branch (translator G_A_d + pred_syn head for main;
-        # the syn Image_f/Task pass for I2D) that the train-time forward
+        # the syn Image_f/Task pass for I2D; the untranslated direction +
+        # cycle/normal tensors for --translate) that the train-time forward
         # computes for the loss zoo — roughly half the serving FLOPs — and
         # the transfer pulls one tensor, not the full dict
-        if args.I2D:  # I2D forward returns a tuple; [3] = pred_real (B,H,W,1)
+        if args.translate:
+            gen_forward = model._forward_fns()
+            key = "fake_depth_B" if args.translate == "AtoB" else "fake_depth_A"
+            remap = lambda b: {"A_depth": b["A_d"], "A_img": b["A_i"],
+                               "B_depth": b["B_d"], "B_img": b["B_i"]}
+            fwd = jax.jit(lambda p, b, r: gen_forward(p, remap(b), r, False)[key])
+        elif args.I2D:  # I2D forward returns a tuple; [3] = pred_real (B,H,W,1)
+            forward = model._forward_fn()
             fwd = jax.jit(lambda p, b, r: forward(p, b, r, False)[3][..., 0])
         else:
+            forward = model._forward_fn()
             key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
             fwd = jax.jit(lambda p, b, r: forward(p, b, r, False)[key])
         rng0 = jax.random.PRNGKey(0)

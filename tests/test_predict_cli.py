@@ -76,6 +76,39 @@ def test_predict_sr_folder(tmp_path):
     assert pred.max() <= 5100
 
 
+def test_predict_translate_folder(tmp_path):
+    """--translate BtoA: stage-2 G_B (real/LQ -> syn/HQ) served over a folder.
+    The reference has no translation inference path at all; this covers our
+    predict.py extension (random-init weights — the surface under test is the
+    CLI chain: decode -> pad -> jitted G_B apply -> crop-back -> uint16)."""
+    import imageio
+
+    rng = np.random.default_rng(0)
+    dd, di, out = tmp_path / "d", tmp_path / "img", tmp_path / "out"
+    os.makedirs(dd)
+    os.makedirs(di)
+    for i in range(2):
+        imageio.imwrite(dd / f"f{i}.png",
+                        rng.integers(0, 5000, (100, 140)).astype(np.uint16))
+        imageio.imwrite(di / f"f{i}.png",
+                        rng.integers(0, 255, (100, 140, 3)).astype(np.uint8))
+
+    import predict
+
+    predict.main([
+        "--name", "pred_tr_test", "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--input_depth", str(dd), "--input_img", str(di), "--output", str(out),
+        "--batch_size", "2", "--compute_dtype", "float32",
+        "--translate", "BtoA",
+    ])
+    files = sorted(os.listdir(out))
+    assert files == ["f0.png", "f1.png"]
+    pred = imageio.imread(out / "f0.png")
+    assert pred.dtype == np.uint16
+    assert pred.shape == (100, 140)  # padding cropped back off
+    assert pred.max() <= 5100
+
+
 def test_predict_i2d_folder(tmp_path):
     """--I2D serving: depth from RGB alone (no --input_depth) through the
     stage-1 Image-Guidance nets. The reference has no I2D serving path at
