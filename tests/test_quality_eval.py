@@ -92,3 +92,27 @@ def test_quality_eval_i2d_chain(tmp_path):
     # predictions written at the scene geometry for every test frame
     preds = os.listdir(os.path.join(str(tmp_path), "pred_qeval"))
     assert len(preds) == 2
+
+
+def test_quality_eval_translation_chain(tmp_path):
+    """--stage translation: trainA/trainB dataset gen -> stage-2 GAN training
+    -> predict.py --translate BtoA serving -> per-pixel scoring of G_B
+    (LQ->HQ) against the paired clean GT."""
+    import quality_eval as qe
+
+    res = qe.main([
+        "--root", str(tmp_path), "--epochs", "1", "--n_train", "2",
+        "--n_test", "2", "--batch_size", "2", "--width", "8",
+        "--hw", "128", "128", "--crop_size", "64",
+        "--platform", "native",  # conftest already forces CPU
+        "--stage", "translation",
+    ])
+    assert res["stage"] == "translation" and res["hw"] == [128, 128]
+    for split in ("baseline", "trained"):
+        m = res[split]
+        assert set(m) >= {"rmse", "mae", "rmse_h", "rmse_d", "psnr", "ssim",
+                          "mae_h", "mae_d", "mse_v"}
+        for k, v in m.items():
+            assert np.isfinite(v), (split, k, v)
+    preds = os.listdir(os.path.join(str(tmp_path), "pred_qeval"))
+    assert len(preds) == 2

@@ -233,6 +233,53 @@ def write_bicubic_baseline(dirs, out_dir):
     return out_dir
 
 
+def write_dataset_translation(root, n_train, n_test, seed=23, hw=(320, 320)):
+    """Stage-2 translation dataset: ``<dataroot>/train{A,B}/{img,depth}``
+    (data/translation_dataset.py layout), A = clean/HQ scenes, B = degraded/
+    LQ scenes (distinct, unpaired — the real data model). Scenes are
+    generated at ``hw`` — pass 320x320 (the dataset's Resize target) so
+    training sees the scene statistics undistorted. Test frames are paired
+    (degraded in, clean GT) for scoring G_B (LQ->HQ) per-pixel via
+    new_metrics."""
+    import imageio
+
+    rng = np.random.default_rng(seed)
+    h, w = hw
+    dirs = {k: os.path.join(root, k) for k in
+            ["test_in", "test_img", "test_gt"]}
+    for d in ("trainA", "trainB"):
+        for sub in ("img", "depth"):
+            dirs[d + "_" + sub] = os.path.join(root, d, sub)
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    intr = os.path.join(root, "intr")
+    fx = 4.5 * w
+
+    def put_intr(stem):
+        d = os.path.join(intr, stem[:12], "intrinsic")
+        os.makedirs(d, exist_ok=True)
+        np.savetxt(os.path.join(d, "intrinsic_depth.txt"),
+                   np.array([[fx, 0, w / 2, 0], [0, fx, h / 2, 0],
+                             [0, 0, 1, 0], [0, 0, 0, 1]]))
+
+    for i in range(n_train):
+        stem = f"scene{i:04d}_00_{i}"
+        clean_a, rgb_a, _ = make_scene(rng, h, w)
+        imageio.imwrite(os.path.join(dirs["trainA_depth"], stem + ".png"), clean_a)
+        imageio.imwrite(os.path.join(dirs["trainA_img"], stem + ".png"), rgb_a)
+        _, rgb_b, noisy_b = make_scene(rng, h, w)
+        imageio.imwrite(os.path.join(dirs["trainB_depth"], stem + ".png"), noisy_b)
+        imageio.imwrite(os.path.join(dirs["trainB_img"], stem + ".png"), rgb_b)
+    for i in range(n_test):
+        stem = f"scene{n_train + i:04d}_00_{n_train + i}"
+        clean, rgb, noisy = make_scene(rng, h, w)
+        imageio.imwrite(os.path.join(dirs["test_in"], stem + ".png"), noisy)
+        imageio.imwrite(os.path.join(dirs["test_img"], stem + ".png"), rgb)
+        imageio.imwrite(os.path.join(dirs["test_gt"], stem + ".png"), clean)
+        put_intr(stem)
+    return dirs, intr
+
+
 def write_mean_baseline(dirs, out_dir):
     """Constant train-mean depth as the prediction — the scale-free floor.
 
@@ -497,6 +544,26 @@ def _train_argv(dirs, intr, args, name):
             "--seed", str(args.seed),
         ] + (["--i2d_train_features"] if args.i2d_train_features else []) \
           + width_flags(args.width, "i2d")
+    if args.stage == "translation":
+        # stage-2 CycleGAN-style translator at the README config (fixed-width
+        # nets — the translator config is hardcoded reference parity,
+        # translation_networks.default_translator_opt); idt_B anchors
+        # G_B(clean)=clean, the depth-level anchor the other stages lack
+        return [
+            "main.py", "--model_type", "translation", "--do_train",
+            "--dataroot", args.root,
+            "--name", name, "--checkpoints_dir", args.ckpt_dir,
+            "--batch_size", str(args.batch_size),
+            "--crop_size_h", str(args.crop_size),
+            "--crop_size_w", str(args.crop_size),
+            "--max_distance", "5100",
+            "--compute_dtype", args.compute_dtype,
+            "--lr", str(args.lr),
+            "--n_epochs", str(args.epochs), "--n_epochs_decay", "0",
+            "--save_epoch_freq", str(args.epochs), "--print_freq",
+            str(args.batch_size * 8), "--num_threads", "1",
+            "--seed", str(args.seed),
+        ]
     lh, lw = getattr(args, "_load_hw", args.hw)
     argv = [
         "main.py", "--model_type", "main", "--do_train",
@@ -558,6 +625,15 @@ def serve(dirs, args, out_dir, name):
             "--compute_dtype", args.compute_dtype, "--num_devices", "1",
             "--I2D", "--net_args"] + width_flags(args.width, "i2d"))
         return
+    if args.stage == "translation":
+        # G_B: real/LQ -> syn/HQ, scored per-pixel against the paired clean GT
+        mod.main([
+            "--name", name, "--checkpoints_dir", args.ckpt_dir,
+            "--input_depth", in_d, "--input_img", in_i, "--output", out_dir,
+            "--batch_size", str(args.n_test),
+            "--compute_dtype", args.compute_dtype, "--num_devices", "1",
+            "--translate", "BtoA"])
+        return
     base = [
         "--name", name, "--checkpoints_dir", args.ckpt_dir,
         "--input_depth", in_d, "--input_img", in_i,
@@ -609,7 +685,8 @@ def main(argv=None):
     p.add_argument("--hw", type=int, nargs=2, default=(128, 128))
     p.add_argument("--compute_dtype", default="float32")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--stage", default="main", choices=["main", "sr", "i2d"],
+    p.add_argument("--stage", default="main",
+                   choices=["main", "sr", "i2d", "translation"],
                    help="'sr': the x2 SR fine-tune chain at the real pipeline "
                         "geometry (480x640 sensor frames -> naive-SR 960x1280 "
                         "canvases; HR ground truth; serving via predict.py "
@@ -620,6 +697,10 @@ def main(argv=None):
                         "--I2D from the test RGB alone, plus a constant "
                         "train-mean-depth baseline — the scale-free floor "
                         "any monocular predictor must beat)")
+    p.add_argument("--crop_size", type=int, default=256,
+                   help="translation stage: train crop (README stage-2 uses "
+                        "256; the dataset Resizes every frame to 320x320 "
+                        "first, so crops must be <= 320)")
     p.add_argument("--i2d_train_features", action="store_true",
                    help="i2d stage: also train Image_f (the as-shipped "
                         "reference optimizes ONLY Task, QUIRKS #2)")
@@ -639,7 +720,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     extra_scores = {}
-    if args.stage in ("sr", "i2d") and args.framework != "ours":
+    if args.stage != "main" and args.framework != "ours":
         p.error("--stage %s supports --framework ours only (the "
                 "head-to-head reference arm drives the main stage)"
                 % args.stage)
@@ -648,6 +729,11 @@ def main(argv=None):
         # bicubic 2x upsample: the classical SR baseline on the HR grid
         bic = write_bicubic_baseline(dirs, os.path.join(args.root, "bicubic"))
         extra_scores["baseline_bicubic"] = score(dirs, bic, intr)
+    elif args.stage == "translation":
+        # scenes at --hw (pass 320 320 for real runs: the dataset Resizes
+        # every frame to 320x320, so 320-size scenes train undistorted)
+        dirs, intr = write_dataset_translation(args.root, args.n_train,
+                                               args.n_test, hw=args.hw)
     elif args.stage == "i2d":
         # the I2D dataset's geometry is fixed (480x640, data/i2d_dataset.py)
         args.hw = (480, 640)
