@@ -13,8 +13,9 @@ auditable artifact:
   - % of HBM roofline (achieved bytes/s vs --hbm_gbps) and MXU utilization
     (achieved flops/s vs --peak_tflops) per stage
   - train rows for all four stages INCLUDING translation (never had a
-    roofline statement before) + serving rows (main/SR, batch 8, pruned
-    predict.py graph) + the SR batch-4 capacity row (remat_blocks)
+    roofline statement before) + serving rows (main/SR/I2D/translate,
+    batch 8, pruned predict.py graphs) + the SR batch-4 capacity row
+    (remat_blocks)
 
 Usage (real chip; ~warm compile cache makes this minutes, not hours):
     python tools/throughput_report.py                        # all rows
@@ -135,15 +136,28 @@ def _serve(stage, batch, warmup, steps, passthrough=()):
     import jax
     import jax.numpy as jnp
 
-    model, opt, _ = _build(stage, ["--batch_size", str(batch),
-                                   "--no_batched_branches"], passthrough)
-    forward = model._forward_fn()
+    if stage == "translate":
+        # predict.py --translate BtoA: G_B (LQ->HQ) only; the untranslated
+        # direction + cycle/normal tensors DCE away (predict.py)
+        model, opt, _ = _build("translation", ["--batch_size", str(batch)],
+                               passthrough)
+        gen_forward = model._forward_fns()
 
-    def fwd_fn(p, bt, r):
-        f = forward(p, bt, r, False)
-        key = ("pred_real_depth_hr" if "pred_real_depth_hr" in f
-               else "pred_real_depth")
-        return jnp.mean(f[key].astype(jnp.float32))
+        def fwd_fn(p, bt, r):
+            return jnp.mean(
+                gen_forward(p, bt, r, False)["fake_depth_A"].astype(jnp.float32))
+    else:
+        model, opt, _ = _build(stage, ["--batch_size", str(batch),
+                                       "--no_batched_branches"], passthrough)
+        forward = model._forward_fn()
+
+        def fwd_fn(p, bt, r):
+            f = forward(p, bt, r, False)
+            if stage == "i2d":  # tuple return; [3] = pred_real (predict.py --I2D)
+                return jnp.mean(f[3].astype(jnp.float32))
+            key = ("pred_real_depth_hr" if "pred_real_depth_hr" in f
+                   else "pred_real_depth")
+            return jnp.mean(f[key].astype(jnp.float32))
 
     fwd = jax.jit(fwd_fn)
     rng = jax.random.PRNGKey(0)
@@ -176,7 +190,8 @@ def _row(name, dt, items, flops, byts, peak_tflops, hbm_gbps, n_chips):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stages", default="sr,main,i2d,translation,"
-                                        "serve_main,serve_sr,sr_batch4")
+                                        "serve_main,serve_sr,serve_i2d,"
+                                        "serve_translate,sr_batch4")
     ap.add_argument("--warmup", type=int, default=16)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--serve_batch", type=int, default=8)
