@@ -101,7 +101,8 @@ def main():
                     model.set_input(data)
                     model.optimize_parameters(total_iters, opt.update_ratio)
 
-                if at_freq(opt.display_freq):
+                if at_freq(opt.display_freq) and (
+                        wandb or not getattr(opt, "no_html", False)):
                     # image panels (reference main.py:76-81): wandb figures, or
                     # the HTML gallery when wandb is off. calculate() runs an
                     # extra eval forward for the visuals; restore train metrics.
@@ -117,7 +118,12 @@ def main():
                         plot_fn = {"I2D": plots.plot_I2D, "main": plots.plot_main,
                                    "translation": plots.plot_translation}[opt.model_type]
                         plot_fn(wandb, visuals, total_iters, stage="train")
-                    else:
+                    elif not getattr(opt, "no_html", False):
+                        # the gallery replaces the reference's visdom panels
+                        # (its own HTML path is dead code in main.py — the
+                        # visualizer is constructed but display_current_results
+                        # is never called, reference main.py:76-81); --no_html
+                        # is the gallery's opt-out, as upstream intended
                         visualizer.display_current_results(visuals, epoch)
 
                 if at_freq(opt.print_freq):

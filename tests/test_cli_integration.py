@@ -72,6 +72,9 @@ def test_main_cli_trains_main_model(tmp_path, monkeypatch, capsys):
         "--I2D_base", "8", "--Task_basef", "8",
         "--save_epoch_freq", "1", "--print_freq", "2",
         "--num_threads", "1",
+        # --no_html disables the HTML gallery (and its extra eval forward);
+        # with it on at display_freq 2 this run would write web/images PNGs
+        "--display_freq", "2", "--no_html",
     ]
     monkeypatch.setattr(sys, "argv", argv)
     main_mod = _import_repo_main()
@@ -79,6 +82,7 @@ def test_main_cli_trains_main_model(tmp_path, monkeypatch, capsys):
     main_mod.main()
     # per-epoch + latest checkpoints written, one per net
     ckpt_dir = os.path.join(root, "ckpt", "cli_int")
+    assert not os.listdir(os.path.join(ckpt_dir, "web", "images"))
     for net in ["G_A_d", "I2D_features", "Image2Depth", "Task", "Depth_f"]:
         assert os.path.exists(os.path.join(ckpt_dir, f"latest_net_{net}.pth")), net
         assert os.path.exists(os.path.join(ckpt_dir, f"1_net_{net}.pth")), net
