@@ -115,6 +115,23 @@ def run_eval(args, model, b):
           f" steps={args.steps}")
     print(f"[ab] {dt:.4f} s/fwd  {b / dt / n_chips:.4f} frames/sec/chip")
 
+    if args.pipeline:
+        # predict.py's actual dispatch pattern: jax's async dispatch keeps the
+        # next call in flight while the previous result is pulled, so the
+        # ~32 ms tunnel round-trip overlaps device compute instead of adding
+        # to it. Dispatch all steps, sync ONCE at the end — the per-step
+        # quotient is the sustained pipelined rate a folder-serving run sees.
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            outs.append(fwd(model.params, model._batch, rng))
+        for o in outs:
+            float(o)
+        dt_p = (time.perf_counter() - t0) / args.steps
+        print(f"[ab] pipelined {dt_p:.4f} s/fwd  "
+              f"{b / dt_p / n_chips:.4f} frames/sec/chip "
+              f"(sync-every-step was {dt:.4f})")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -124,6 +141,11 @@ def main():
     ap.add_argument("--profile_dir", default=None,
                     help="capture a 2-step jax.profiler trace after warmup "
                          "(analyse with tools/xplane_profile.py)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="with --eval: also time async pipelined dispatch "
+                         "(sync once at the end) — predict.py's real "
+                         "pattern, where the tunnel round-trip overlaps "
+                         "device compute")
     ap.add_argument("--serve", action="store_true",
                     help="with --eval: keep only the real-branch prediction "
                          "(predict.py's graph) so XLA prunes the synthetic "
