@@ -437,13 +437,13 @@ def make_shared_init(dirs, intr, args, arm_names):
     contract), and every arm trains with --continue_train --epoch init —
     the reference loads the exact same tensors via its own load_networks.
     """
-    from desr_tpu.models.main_model import MainModel
+    from desr_tpu.models import create_model
     from desr_tpu.options.train_options import TrainOptions
 
     argv = _train_argv(dirs, intr, args, arm_names[0])[1:]  # drop prog name
     with contextlib.redirect_stdout(sys.stderr):
         opt = TrainOptions().parse(argv)
-        model = MainModel(opt)
+        model = create_model(opt)  # main or (with --SR) MainSR by stage
         model.init_params(seed=args.seed)
         model.save_networks("init")
     src = model.save_dir()
@@ -475,9 +475,30 @@ def train_reference(dirs, intr, args, name):
         sys.path.append(REFERENCE_ROOT)  # append: never shadow repo modules
     import importlib
 
-    ref_main = importlib.import_module("models.main_model")
     ref_data = importlib.import_module("data")
-    ref_ds = importlib.import_module("data.my_main_dataset")
+    if args.stage == "sr":
+        # reference SR dispatch: MainSRModel + my_naive_sr_dataset
+        # (/root/reference/main.py:37-39)
+        ref_main = importlib.import_module("models.main_sr_model")
+        ref_cls = ref_main.MainSRModel
+        ref_ds = importlib.import_module("data.my_naive_sr_dataset")
+        # The reference SR model hardcodes gpu_ids=[0,1,2,3] in its G_A_d
+        # SimpleNamespace (/root/reference/models/main_sr_model.py:166 — the
+        # main model passes opt.gpu_ids there instead), so init_net would
+        # assert CUDA. Shim: strip gpu_ids at init_net for this CPU arm; the
+        # network math is untouched.
+        ref_tn = importlib.import_module("models.translation_network")
+        _orig_init_net = ref_tn.init_net
+
+        def _cpu_init_net(net, init_type="normal", init_gain="relu",
+                          gpu_ids=(), param=None):
+            return _orig_init_net(net, init_type, init_gain, [], param)
+
+        ref_tn.init_net = _cpu_init_net
+    else:
+        ref_main = importlib.import_module("models.main_model")
+        ref_cls = ref_main.MainModel
+        ref_ds = importlib.import_module("data.my_main_dataset")
 
     from desr_tpu.options.train_options import TrainOptions
 
@@ -498,7 +519,7 @@ def train_reference(dirs, intr, args, name):
     np.random.seed(args.seed)
     _random.seed(args.seed)
     with contextlib.redirect_stdout(sys.stderr):
-        model = ref_main.MainModel(ropt)
+        model = ref_cls(ropt)
         model.setup(ropt)  # --continue_train: loads the shared init .pth
         dataset = ref_data.create_dataset(ropt, ref_ds.MyUnalignedDataset)
         total_iters = 0
@@ -720,9 +741,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     extra_scores = {}
-    if args.stage != "main" and args.framework != "ours":
+    if args.stage not in ("main", "sr") and args.framework != "ours":
         p.error("--stage %s supports --framework ours only (the "
-                "head-to-head reference arm drives the main stage)"
+                "head-to-head reference arm drives the main and sr stages)"
                 % args.stage)
     if args.stage == "sr":
         dirs, intr = write_dataset_sr(args.root, args.n_train, args.n_test)
