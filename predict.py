@@ -5,10 +5,13 @@ its fixed 512x640 test geometry. This dedicated driver is serving-oriented:
 
 - loads the stage-3 checkpoint set (``latest_net_G_A_d.pth`` etc.) from
   ``--checkpoints_dir/--name`` via the tolerant .pth loader
-- streams ``--input_depth`` / ``--input_img`` folders with the multi-process
-  loader, auto-pads each frame to the U-Net's /128 geometry, and crops the
-  padding back off before writing ``<stem>.png`` uint16-mm predictions
-- one jitted forward, batch-sharded over all local chips
+- streams ``--input_depth`` / ``--input_img`` folders, auto-pads each frame
+  to the U-Net's /128 geometry, and crops the padding back off before
+  writing ``<stem>.png`` uint16-mm predictions
+- one jitted forward, batch-sharded over all local chips; ``--num_workers``
+  forks a host decode/encode pool so a many-core host can feed the chip
+  (the device consumes 157 frames/s at main batch-8 vs ~16 PNG decodes/s
+  per host core — PERF.md "Pipelined serving dispatch")
 
 Usage:
     python predict.py --name <exp> --checkpoints_dir checkpoints \
@@ -38,6 +41,70 @@ def pad_to_multiple(arr, mult, axes=(0, 1)):
         extra = target - arr.shape[ax]
         pads[ax] = (extra // 2, extra - extra // 2)
     return np.pad(arr, pads, mode="reflect"), pads
+
+
+# ------------------------------------------------------- host worker pool
+# Serve-side host work (PNG decode + normalize + pad, and the uint16 PNG
+# encodes) is the measured serving bottleneck: the pipelined main-b8 graph
+# consumes 157 frames/s/chip while one host core decodes ~16 PNG pairs/s
+# (PERF.md "Pipelined serving dispatch"). ``--num_workers`` forks a host
+# pool running the EXACT inline helpers below (fork ctx: workers inherit
+# the process image; no jax in the decode path), so a many-core serving
+# host can feed the chip. Numerics are unchanged by construction — see
+# tests/test_predict_cli.py::test_predict_workers_parity.
+
+_WCFG = None
+
+
+def _init_predict_worker(cfg):
+    global _WCFG
+    _WCFG = cfg
+    try:
+        import cv2
+
+        cv2.setNumThreads(1)
+    except ImportError:
+        pass
+
+
+def _pad_frame(arr, cfg):
+    if cfg["exp_h"] is not None:  # exported artifact: fixed geometry
+        pads = [(0, 0)] * arr.ndim
+        for ax, target in ((0, cfg["exp_h"]), (1, cfg["exp_w"])):
+            extra = target - arr.shape[ax]
+            if extra < 0:
+                raise ValueError(
+                    f"frame {arr.shape[:2]} exceeds the exported geometry "
+                    f"({cfg['exp_h']}x{cfg['exp_w']}); re-export for this size")
+            pads[ax] = (extra // 2, extra - extra // 2)
+        return np.pad(arr, pads, mode="reflect"), pads
+    # SR frames pad to /256: the graph's LR branch runs at half size
+    # and the U-Nets need the /128 grid THERE (README geometry 1024x1280
+    # -> LR 512x640)
+    return pad_to_multiple(arr, 256 if cfg["sr"] else 128)
+
+
+def _decode_frame(pair, cfg=None):
+    """(depth_path, img_path) -> (depth [H,W,1], img [H,W,3], pad_info)."""
+    from desr_tpu.data.base_dataset import load_depth_png, load_image
+    from desr_tpu.data.transforms import normalize_depth_np, normalize_image_np
+
+    cfg = cfg or _WCFG
+    dp, ip = pair
+    im = normalize_image_np(load_image(ip)[..., :3].astype(np.float32))
+    if cfg["no_depth"]:  # --I2D: no depth input; the jitted graph DCEs A_d/B_d
+        d = np.zeros(im.shape[:2], np.float32)
+    else:
+        d = normalize_depth_np(load_depth_png(dp), cfg["max_distance"])
+    d, pads = _pad_frame(d, cfg)
+    im, _ = _pad_frame(im, cfg)
+    return d[..., None], im, pads
+
+
+def _encode_frame(out01, path):
+    from desr_tpu.utils.util import save_uint16_png
+
+    save_uint16_png(out01, path)
 
 
 def main(argv=None):
@@ -72,6 +139,15 @@ def main(argv=None):
                              "11.8 frames/s/chip, 4 = 13.6, 8 = 19.6, 16 = "
                              "21.3 — PERF.md 'Serving batch scaling')")
     parser.add_argument("--max_distance", type=float, default=5100.0)
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="fork this many host workers: PNG decode + "
+                             "normalize + pad and the uint16 PNG writes run "
+                             "in the pool, with 2 batches decoded ahead of "
+                             "the device. The serve-side host floor is ~16 "
+                             "PNG decodes/s/core vs 157 frames/s/chip device "
+                             "capability at main batch-8 (PERF.md 'Pipelined "
+                             "serving dispatch') — a many-core serving host "
+                             "needs this to feed the chip. 0/1 = inline")
     parser.add_argument("--compute_dtype", default="bfloat16")
     parser.add_argument("--num_devices", type=int, default=0,
                         help="limit the mesh to the first N chips (0=all); "
@@ -102,12 +178,9 @@ def main(argv=None):
         parser.error("--input_depth is required (omit only with --I2D)")
 
     import jax
-    import jax.numpy as jnp
 
     from desr_tpu.options.train_options import TrainOptions
-    from desr_tpu.data.base_dataset import load_depth_png, load_image
-    from desr_tpu.data.transforms import normalize_depth_np, normalize_image_np
-    from desr_tpu.utils.util import save_uint16_png
+    from desr_tpu.data.base_dataset import load_depth_png
 
     if args.from_export:
         from desr_tpu.serving import load_serving
@@ -202,39 +275,21 @@ def main(argv=None):
     # frame: 144x144 came out.)
     scale = 1
     n_done = 0
+    cfg = {"sr": args.SR, "exp_h": exp_h, "exp_w": exp_w,
+           "no_depth": args.input_depth is None,
+           "max_distance": args.max_distance}
+    _init_predict_worker(cfg)  # parent-side cfg: inline path + fork inherit
 
-    def pad_frame(arr):
-        if exp_h is not None:  # exported artifact: fixed geometry
-            pads = [(0, 0)] * arr.ndim
-            for ax, target in ((0, exp_h), (1, exp_w)):
-                extra = target - arr.shape[ax]
-                if extra < 0:
-                    raise ValueError(
-                        f"frame {arr.shape[:2]} exceeds the exported geometry "
-                        f"({exp_h}x{exp_w}); re-export for this size")
-                pads[ax] = (extra // 2, extra - extra // 2)
-            return np.pad(arr, pads, mode="reflect"), pads
-        # SR frames pad to /256: the graph's LR branch runs at half size
-        # and the U-Nets need the /128 grid THERE (README geometry 1024x1280
-        # -> LR 512x640)
-        return pad_to_multiple(arr, 256 if args.SR else 128)
+    def chunk_pairs(i):
+        return list(zip(depth_paths[i : i + args.batch_size],
+                        img_paths[i : i + args.batch_size]))
 
-    def decode_chunk(i):
-        chunk_d = depth_paths[i : i + args.batch_size]
-        chunk_i = img_paths[i : i + args.batch_size]
-        depths, imgs, pad_infos, stems = [], [], [], []
-        for dp, ip in zip(chunk_d, chunk_i):
-            im = normalize_image_np(load_image(ip)[..., :3].astype(np.float32))
-            if args.input_depth is None:  # --I2D: no depth input; the jitted
-                d = np.zeros(im.shape[:2], np.float32)  # graph DCEs A_d/B_d
-            else:
-                d = normalize_depth_np(load_depth_png(dp), args.max_distance)
-            d, pads = pad_frame(d)
-            im, _ = pad_frame(im)
-            depths.append(d[..., None])
-            imgs.append(im)
-            pad_infos.append(pads)
-            stems.append(os.path.splitext(os.path.basename(dp))[0])
+    def assemble(frames, i):
+        depths = [f[0] for f in frames]
+        imgs = [f[1] for f in frames]
+        pad_infos = [f[2] for f in frames]
+        stems = [os.path.splitext(os.path.basename(dp))[0]
+                 for dp in depth_paths[i : i + args.batch_size]]
         while args.from_export and len(depths) < args.batch_size:
             depths.append(depths[-1])  # pad the tail chunk to the exported
             imgs.append(imgs[-1])      # batch size; extras are not written
@@ -249,21 +304,9 @@ def main(argv=None):
         }
         return batch, pad_infos, stems
 
-    def write_preds(preds, pad_infos, stems):
-        nonlocal n_done
-        for j, stem in enumerate(stems):
-            (t, bpad), (l, rpad) = pad_infos[j][0], pad_infos[j][1]
-            p = preds[j]
-            p = p[t * scale : p.shape[0] - bpad * scale,
-                  l * scale : p.shape[1] - rpad * scale]
-            out01 = np.clip((p + 1) / 2, 0, 1)
-            save_uint16_png(out01, os.path.join(args.output, f"{stem}.png"))
-            n_done += 1
-        print(f"{n_done}/{len(depth_paths)} frames", file=sys.stderr)
-
     if args.export:
         from desr_tpu.serving import export_serving
-        batch, _, _ = decode_chunk(0)
+        batch, _, _ = assemble([_decode_frame(p, cfg) for p in chunk_pairs(0)], 0)
         key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
         manifest = export_serving(
             model, batch, args.export, key,
@@ -273,18 +316,63 @@ def main(argv=None):
               f"{json.dumps(manifest['batch'])}")
         return
 
+    pool, writes = None, []
+    if args.num_workers > 1 and hasattr(os, "fork"):
+        import multiprocessing
+
+        ctx = multiprocessing.get_context("fork")
+        pool = ctx.Pool(args.num_workers, initializer=_init_predict_worker,
+                        initargs=(cfg,))
+
+    def write_preds(preds, pad_infos, stems):
+        nonlocal n_done
+        for j, stem in enumerate(stems):
+            (t, bpad), (l, rpad) = pad_infos[j][0], pad_infos[j][1]
+            p = preds[j]
+            p = p[t * scale : p.shape[0] - bpad * scale,
+                  l * scale : p.shape[1] - rpad * scale]
+            out01 = np.clip((p + 1) / 2, 0, 1)
+            path = os.path.join(args.output, f"{stem}.png")
+            if pool is not None:  # PNG encode off the dispatch thread
+                writes.append(pool.apply_async(_encode_frame, (out01, path)))
+            else:
+                _encode_frame(out01, path)
+            n_done += 1
+        print(f"{n_done}/{len(depth_paths)} frames", file=sys.stderr)
+
+    def decoded_chunks():
+        starts = list(range(0, len(depth_paths), args.batch_size))
+        if pool is None:
+            for i in starts:
+                yield assemble([_decode_frame(p, cfg) for p in chunk_pairs(i)], i)
+            return
+        from collections import deque
+
+        dq, ci = deque(), 0  # 2 chunks decoding ahead of the device
+        while ci < len(starts) or dq:
+            while ci < len(starts) and len(dq) < 2:
+                dq.append((pool.map_async(_decode_frame, chunk_pairs(starts[ci])),
+                           starts[ci]))
+                ci += 1
+            fut, i = dq.popleft()
+            yield assemble(fut.get(), i)
+
     # 1-deep pipeline over jax's async dispatch: batch i is decoded and
     # dispatched BEFORE batch i-1's result is pulled, so host PNG decode +
     # uint16 writes overlap the device forward of the in-flight batch
     pending = None
-    for i in range(0, len(depth_paths), args.batch_size):
-        batch, pad_infos, stems = decode_chunk(i)
+    for batch, pad_infos, stems in decoded_chunks():
         preds = run(batch)
         if pending is not None:
             write_preds(np.asarray(pending[0]), pending[1], pending[2])
         pending = (preds, pad_infos, stems)
     if pending is not None:
         write_preds(np.asarray(pending[0]), pending[1], pending[2])
+    for w in writes:
+        w.get()  # surface any worker-side encode error
+    if pool is not None:
+        pool.close()
+        pool.join()
     print(f"wrote {n_done} predictions to {args.output}")
 
 
