@@ -50,19 +50,21 @@ def pad_to_multiple(arr, mult, axes=(0, 1)):
 # (PERF.md "Pipelined serving dispatch"). ``--num_workers`` forks a host
 # pool running the EXACT inline helpers below (fork ctx: workers inherit
 # the process image; no jax in the decode path), so a many-core serving
-# host can feed the chip. Numerics are unchanged by construction — see
-# tests/test_predict_cli.py::test_predict_workers_parity.
+# host can feed the chip. Numerics are verified byte-identical vs the
+# inline path by tests/test_predict_cli.py::test_predict_workers_parity.
+#
+# The pool is forked BEFORE the jax import / model construction, so
+# workers never inherit a live runtime-client thread pool (fork-after-
+# client-init is a latent deadlock/fd-inheritance hazard on the axon
+# runtime); cfg ships per-call via functools.partial, keeping the
+# children strictly jax-free.
 
-_WCFG = None
 
-
-def _init_predict_worker(cfg):
-    global _WCFG
-    _WCFG = cfg
+def _init_predict_worker():
     try:
         import cv2
 
-        cv2.setNumThreads(1)
+        cv2.setNumThreads(1)  # one OpenCV thread per worker, workers only
     except ImportError:
         pass
 
@@ -84,12 +86,11 @@ def _pad_frame(arr, cfg):
     return pad_to_multiple(arr, 256 if cfg["sr"] else 128)
 
 
-def _decode_frame(pair, cfg=None):
+def _decode_frame(pair, cfg):
     """(depth_path, img_path) -> (depth [H,W,1], img [H,W,3], pad_info)."""
     from desr_tpu.data.base_dataset import load_depth_png, load_image
     from desr_tpu.data.transforms import normalize_depth_np, normalize_image_np
 
-    cfg = cfg or _WCFG
     dp, ip = pair
     im = normalize_image_np(load_image(ip)[..., :3].astype(np.float32))
     if cfg["no_depth"]:  # --I2D: no depth input; the jitted graph DCEs A_d/B_d
@@ -176,6 +177,15 @@ def main(argv=None):
                      "(no --SR/--I2D/--export/--from_export)")
     if args.input_depth is None and not args.I2D:
         parser.error("--input_depth is required (omit only with --I2D)")
+
+    # fork the host pool FIRST: the children must never inherit a live jax
+    # client (see the worker-pool comment above)
+    pool, writes = None, []
+    if args.num_workers > 1 and hasattr(os, "fork"):
+        import multiprocessing
+
+        ctx = multiprocessing.get_context("fork")
+        pool = ctx.Pool(args.num_workers, initializer=_init_predict_worker)
 
     import jax
 
@@ -278,7 +288,9 @@ def main(argv=None):
     cfg = {"sr": args.SR, "exp_h": exp_h, "exp_w": exp_w,
            "no_depth": args.input_depth is None,
            "max_distance": args.max_distance}
-    _init_predict_worker(cfg)  # parent-side cfg: inline path + fork inherit
+    import functools
+
+    decode = functools.partial(_decode_frame, cfg=cfg)
 
     def chunk_pairs(i):
         return list(zip(depth_paths[i : i + args.batch_size],
@@ -306,7 +318,7 @@ def main(argv=None):
 
     if args.export:
         from desr_tpu.serving import export_serving
-        batch, _, _ = assemble([_decode_frame(p, cfg) for p in chunk_pairs(0)], 0)
+        batch, _, _ = assemble([decode(p) for p in chunk_pairs(0)], 0)
         key = "pred_real_depth_hr" if args.SR else "pred_real_depth"
         manifest = export_serving(
             model, batch, args.export, key,
@@ -315,14 +327,6 @@ def main(argv=None):
         print(f"exported serving artifact to {args.export}: "
               f"{json.dumps(manifest['batch'])}")
         return
-
-    pool, writes = None, []
-    if args.num_workers > 1 and hasattr(os, "fork"):
-        import multiprocessing
-
-        ctx = multiprocessing.get_context("fork")
-        pool = ctx.Pool(args.num_workers, initializer=_init_predict_worker,
-                        initargs=(cfg,))
 
     def write_preds(preds, pad_infos, stems):
         nonlocal n_done
@@ -334,6 +338,10 @@ def main(argv=None):
             out01 = np.clip((p + 1) / 2, 0, 1)
             path = os.path.join(args.output, f"{stem}.png")
             if pool is not None:  # PNG encode off the dispatch thread
+                # backpressure: if encodes lag the device, wait on the oldest
+                # instead of queuing unbounded full-res float frames
+                while len(writes) >= 2 * args.num_workers:
+                    writes.pop(0).get()
                 writes.append(pool.apply_async(_encode_frame, (out01, path)))
             else:
                 _encode_frame(out01, path)
@@ -344,14 +352,14 @@ def main(argv=None):
         starts = list(range(0, len(depth_paths), args.batch_size))
         if pool is None:
             for i in starts:
-                yield assemble([_decode_frame(p, cfg) for p in chunk_pairs(i)], i)
+                yield assemble([decode(p) for p in chunk_pairs(i)], i)
             return
         from collections import deque
 
         dq, ci = deque(), 0  # 2 chunks decoding ahead of the device
         while ci < len(starts) or dq:
             while ci < len(starts) and len(dq) < 2:
-                dq.append((pool.map_async(_decode_frame, chunk_pairs(starts[ci])),
+                dq.append((pool.map_async(decode, chunk_pairs(starts[ci])),
                            starts[ci]))
                 ci += 1
             fut, i = dq.popleft()

@@ -109,6 +109,61 @@ def test_predict_translate_folder(tmp_path):
     assert pred.max() <= 5100
 
 
+def _read_bytes(folder):
+    return {f: open(os.path.join(folder, f), "rb").read()
+            for f in sorted(os.listdir(folder))}
+
+
+def test_predict_workers_parity(tmp_path):
+    """--num_workers N (forked decode/encode pool) is byte-identical to the
+    inline path — same files, same ordering, same PNG bytes — including a
+    tail chunk (5 frames at batch 2) and the --from_export pad-to-batch
+    interaction (the artifact's fixed batch pads the tail with repeats that
+    must not be written)."""
+    import imageio
+
+    rng = np.random.default_rng(0)
+    dd, di = tmp_path / "depth", tmp_path / "img"
+    os.makedirs(dd)
+    os.makedirs(di)
+    for i in range(5):  # odd count: forces a 1-frame tail chunk at batch 2
+        imageio.imwrite(dd / f"f{i}.png",
+                        rng.integers(0, 6000, (100, 140)).astype(np.uint16))
+        imageio.imwrite(di / f"f{i}.png",
+                        rng.integers(0, 255, (100, 140, 3)).astype(np.uint8))
+
+    import predict
+
+    net_flags = [
+        "--net_args",
+        "--ImageDepthf_outf", "8", "--ImageDepthf_basef", "8",
+        "--Depthf_outf", "8", "--Depthf_basef", "8",
+        "--I2D_base", "8", "--Task_basef", "8",
+    ]
+    base = ["--name", "pred_wk_test", "--checkpoints_dir", str(tmp_path / "ckpt"),
+            "--input_depth", str(dd), "--input_img", str(di),
+            "--batch_size", "2", "--compute_dtype", "float32"]
+    out0, out2 = tmp_path / "out_inline", tmp_path / "out_pool"
+    predict.main(base + ["--output", str(out0), "--num_workers", "0"] + net_flags)
+    predict.main(base + ["--output", str(out2), "--num_workers", "2"] + net_flags)
+    inline, pooled = _read_bytes(out0), _read_bytes(out2)
+    assert list(inline) == [f"f{i}.png" for i in range(5)]
+    assert inline == pooled  # byte-identical PNGs, identical file set
+
+    # --from_export: fixed batch 2 pads the 1-frame tail; pool parity again
+    exp = tmp_path / "export"
+    predict.main(base + ["--output", str(tmp_path / "out_exp0"),
+                         "--export", str(exp)] + net_flags)
+    eb = ["--from_export", str(exp), "--input_depth", str(dd),
+          "--input_img", str(di), "--compute_dtype", "float32"]
+    oute0, oute2 = tmp_path / "out_e_inline", tmp_path / "out_e_pool"
+    predict.main(eb + ["--output", str(oute0), "--num_workers", "0"])
+    predict.main(eb + ["--output", str(oute2), "--num_workers", "2"])
+    e_inline, e_pooled = _read_bytes(oute0), _read_bytes(oute2)
+    assert list(e_inline) == [f"f{i}.png" for i in range(5)]  # pad frames not written
+    assert e_inline == e_pooled
+
+
 def test_predict_i2d_folder(tmp_path):
     """--I2D serving: depth from RGB alone (no --input_depth) through the
     stage-1 Image-Guidance nets. The reference has no I2D serving path at
