@@ -68,19 +68,22 @@ def test_quality_eval_chain(tmp_path, capsys):
 
 
 def test_quality_eval_i2d_chain(tmp_path):
-    """--stage i2d: dataset gen (fixed 480x640 geometry) -> I2D training ->
-    predict.py --I2D serving from RGB alone -> scoring, plus the constant
-    train-mean-depth baseline row (the scale-free monocular floor)."""
+    """--stage i2d --framework both: dataset gen (fixed 480x640 geometry) ->
+    I2D training in BOTH frameworks from one shared init (the torch
+    reference arm drives I2D_model + my_I2D_dataset with the albumentations
+    + ColorJitter shim) -> predict.py --I2D serving from RGB alone ->
+    scoring, plus the constant train-mean-depth baseline row (the
+    scale-free monocular floor)."""
     import quality_eval as qe
 
     res = qe.main([
         "--root", str(tmp_path), "--epochs", "1", "--n_train", "2",
         "--n_test", "2", "--batch_size", "2", "--width", "8",
         "--platform", "native",  # conftest already forces CPU
-        "--stage", "i2d",
+        "--stage", "i2d", "--framework", "both",
     ])
     assert res["stage"] == "i2d" and res["hw"] == [480, 640]
-    for split in ("baseline", "baseline_mean", "trained"):
+    for split in ("baseline", "baseline_mean", "trained", "reference"):
         m = res[split]
         assert set(m) >= {"rmse", "mae", "rmse_h", "rmse_d", "psnr", "ssim",
                           "mae_h", "mae_d", "mse_v"}
@@ -90,13 +93,18 @@ def test_quality_eval_i2d_chain(tmp_path):
     # score the constant against the GT under the input's hole mask
     assert res["baseline_mean"]["rmse_h"] < res["baseline"]["rmse_h"]
     # predictions written at the scene geometry for every test frame
-    preds = os.listdir(os.path.join(str(tmp_path), "pred_qeval"))
-    assert len(preds) == 2
+    for arm in ("pred_qeval", "pred_qeval_ref"):
+        assert len(os.listdir(os.path.join(str(tmp_path), arm))) == 2
+    # both arms started from the SAME init checkpoints
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "ckpt", "qeval_ref", "init_net_Task.pth"))
 
 
 def test_quality_eval_translation_chain(tmp_path):
-    """--stage translation: trainA/trainB dataset gen -> stage-2 GAN training
-    -> predict.py --translate BtoA serving -> per-pixel scoring of G_B
+    """--stage translation --framework both: trainA/trainB dataset gen ->
+    stage-2 GAN training in BOTH frameworks from one shared init (the torch
+    reference arm drives TranslationModel + translation_dataset) ->
+    predict.py --translate BtoA serving -> per-pixel scoring of G_B
     (LQ->HQ) against the paired clean GT."""
     import quality_eval as qe
 
@@ -105,14 +113,42 @@ def test_quality_eval_translation_chain(tmp_path):
         "--n_test", "2", "--batch_size", "2", "--width", "8",
         "--hw", "128", "128", "--crop_size", "64",
         "--platform", "native",  # conftest already forces CPU
-        "--stage", "translation",
+        "--stage", "translation", "--framework", "both",
     ])
     assert res["stage"] == "translation" and res["hw"] == [128, 128]
-    for split in ("baseline", "trained"):
+    for split in ("baseline", "trained", "reference"):
         m = res[split]
         assert set(m) >= {"rmse", "mae", "rmse_h", "rmse_d", "psnr", "ssim",
                           "mae_h", "mae_d", "mse_v"}
         for k, v in m.items():
             assert np.isfinite(v), (split, k, v)
-    preds = os.listdir(os.path.join(str(tmp_path), "pred_qeval"))
-    assert len(preds) == 2
+    for arm in ("pred_qeval", "pred_qeval_ref"):
+        assert len(os.listdir(os.path.join(str(tmp_path), arm))) == 2
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "ckpt", "qeval_ref", "init_net_G_B.pth"))
+
+
+def test_quality_eval_sr_head_to_head_chain(tmp_path):
+    """--stage sr --framework both: ONE shared main-stage pretrain, then both
+    arms fine-tune the SR stage from the SAME handoff checkpoints (ours via
+    main.py --SR, the reference via MainSRModel + my_naive_sr_dataset with
+    the CPU init_net shim), both served through the AOT export chain and
+    scored with the reference's [0::2] SR rule + bicubic baseline."""
+    import quality_eval as qe
+
+    res = qe.main([
+        "--root", str(tmp_path), "--epochs", "1", "--n_train", "2",
+        "--n_test", "1", "--batch_size", "2", "--width", "8",
+        "--hw", "128", "128", "--platform", "native",
+        "--stage", "sr", "--framework", "both",
+    ])
+    assert res["stage"] == "sr" and res["shared_init"] is True
+    for split in ("baseline", "baseline_bicubic", "trained", "reference"):
+        m = res[split]
+        for k, v in m.items():
+            assert np.isfinite(v), (split, k, v)
+    for arm in ("pred_qeval", "pred_qeval_ref"):
+        assert len(os.listdir(os.path.join(str(tmp_path), arm))) == 1
+    # the handoff: the ref arm starts from the pretrain's latest checkpoints
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "ckpt", "qeval_ref", "latest_net_Task.pth"))

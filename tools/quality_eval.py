@@ -418,12 +418,33 @@ def _install_albu_shim():
                 raise AttributeError(name)
             return _Inert
 
+        class _ColorJitter:
+            """Working ColorJitter for the I2D reference arm: the reference
+            dataset APPLIES it per frame (my_I2D_dataset.py:212-214). Backed
+            by the repo's torchvision-matched jitter (data/transforms.py
+            color_jitter — same factor laws + random op order); PIL in, PIL
+            out, as torchvision's does on PIL images."""
+
+            def __init__(self, brightness=0, contrast=0, saturation=0, hue=0):
+                self.kw = dict(brightness=brightness, contrast=contrast,
+                               saturation=saturation, hue=hue)
+
+            def __call__(self, img):
+                from PIL import Image
+
+                arr = np.asarray(img.convert("RGB")).astype(np.uint8)
+                rng = np.random.default_rng(_random.getrandbits(32))
+                out = T.color_jitter(rng, arr, **self.kw)
+                return Image.fromarray(
+                    np.clip(out, 0, 255).astype(np.uint8))
+
         tv = types.ModuleType("torchvision")
         tvt = types.ModuleType("torchvision.transforms")
         tvf = types.ModuleType("torchvision.transforms.functional")
         tv.__getattr__ = tvt.__getattr__ = tvf.__getattr__ = _stub_attr
         tv.transforms = tvt
         tvt.functional = tvf
+        tvt.ColorJitter = _ColorJitter
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tvt
         sys.modules["torchvision.transforms.functional"] = tvf
@@ -495,6 +516,20 @@ def train_reference(dirs, intr, args, name):
             return _orig_init_net(net, init_type, init_gain, [], param)
 
         ref_tn.init_net = _cpu_init_net
+    elif args.stage == "i2d":
+        # reference I2D dispatch: I2DModel + my_I2D_dataset
+        # (/root/reference/main.py:29-32); trains with the as-shipped
+        # Task-only optimizer (QUIRKS #2, I2D_model.py:143) — the arm that
+        # proves the train-mean-floor result is the reference's behavior
+        ref_main = importlib.import_module("models.I2D_model")
+        ref_cls = ref_main.I2DModel
+        ref_ds = importlib.import_module("data.my_I2D_dataset")
+    elif args.stage == "translation":
+        # reference translation dispatch: TranslationModel +
+        # translation_dataset (/root/reference/main.py:39-42)
+        ref_main = importlib.import_module("models.translation_model")
+        ref_cls = ref_main.TranslationModel
+        ref_ds = importlib.import_module("data.translation_dataset")
     else:
         ref_main = importlib.import_module("models.main_model")
         ref_cls = ref_main.MainModel
@@ -508,12 +543,17 @@ def train_reference(dirs, intr, args, name):
     ropt = copy.deepcopy(opt)
     ropt.gpu_ids = []  # reference init_net: empty gpu_ids -> CPU
     ropt.num_threads = 0  # inline loading: deterministic + 1-core friendly
-    # CustomDatasetDataLoader builds a throwaway UnalignedDataset(opt) before
-    # swapping in the custom class (data/__init__.py:74-76) — it needs
-    # <dataroot>/trainA,trainB to exist even though they are never read
-    ropt.dataroot = os.path.join(args.root, "_ref_dataroot")
-    for sub in ("trainA", "trainB"):
-        os.makedirs(os.path.join(ropt.dataroot, sub), exist_ok=True)
+    if args.stage == "translation":
+        # the translation dataset genuinely reads <dataroot>/train{A,B}/
+        # {img,depth} (translation_dataset.py:18-19) — keep the real root
+        ropt.dataroot = args.root
+    else:
+        # CustomDatasetDataLoader builds a throwaway UnalignedDataset(opt)
+        # before swapping in the custom class (data/__init__.py:74-76) — it
+        # needs <dataroot>/trainA,trainB to exist though they are never read
+        ropt.dataroot = os.path.join(args.root, "_ref_dataroot")
+        for sub in ("trainA", "trainB"):
+            os.makedirs(os.path.join(ropt.dataroot, sub), exist_ok=True)
 
     torch.manual_seed(args.seed)
     np.random.seed(args.seed)
@@ -545,6 +585,16 @@ def width_flags(width, stage="main"):
 
 
 def _train_argv(dirs, intr, args, name):
+    argv = _stage_argv(dirs, intr, args, name)
+    if getattr(args, "_shared_init", False):
+        argv += ["--continue_train", "--epoch", "init"]
+    if getattr(args, "_continue_latest", False):
+        # later flag wins in argparse: overrides a preceding '--epoch init'
+        argv += ["--continue_train", "--epoch", "latest"]
+    return argv
+
+
+def _stage_argv(dirs, intr, args, name):
     if args.stage == "i2d":
         # stage-1 Image Guidance: fixed dataset geometry (480x640 ->
         # crop 384x512, data/i2d_dataset.py), masked L1 on both domains;
@@ -605,10 +655,6 @@ def _train_argv(dirs, intr, args, name):
         str(args.batch_size * 8), "--num_threads", "1",
         "--seed", str(args.seed),
     ] + width_flags(args.width)
-    if getattr(args, "_shared_init", False):
-        argv += ["--continue_train", "--epoch", "init"]
-    if getattr(args, "_continue_latest", False):
-        argv += ["--continue_train", "--epoch", "latest"]
     return argv
 
 
@@ -722,6 +768,12 @@ def main(argv=None):
                    help="translation stage: train crop (README stage-2 uses "
                         "256; the dataset Resizes every frame to 320x320 "
                         "first, so crops must be <= 320)")
+    p.add_argument("--sr_pre_epochs", type=int, default=0,
+                   help="sr stage: epochs for the shared main-stage pretrain "
+                        "(0 = same as --epochs). The depth-level collapse "
+                        "resolves with main-stage optimization "
+                        "(QUALITY_r04 main_steps_scaling), so the SR "
+                        "fine-tune should start from a LONG pretrain")
     p.add_argument("--i2d_train_features", action="store_true",
                    help="i2d stage: also train Image_f (the as-shipped "
                         "reference optimizes ONLY Task, QUIRKS #2)")
@@ -741,10 +793,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     extra_scores = {}
-    if args.stage not in ("main", "sr") and args.framework != "ours":
-        p.error("--stage %s supports --framework ours only (the "
-                "head-to-head reference arm drives the main and sr stages)"
-                % args.stage)
     if args.stage == "sr":
         dirs, intr = write_dataset_sr(args.root, args.n_train, args.n_test)
         # bicubic 2x upsample: the classical SR baseline on the HR grid
@@ -772,29 +820,48 @@ def main(argv=None):
     arms = {"ours": [args.name], "reference": [args.name + "_ref"],
             "both": [args.name, args.name + "_ref"]}[args.framework]
     args._shared_init = args.framework != "ours"
-    if args._shared_init:
+    if args._shared_init and args.stage != "sr":
         make_shared_init(dirs, intr, args, arms)
 
+    # the reference's SR stage is a FINE-TUNE of trained main-stage weights
+    # (README: --continue_train, lr 2e-5 = main's /10) — its x5/x2 loss
+    # weights are tuned for that and the stage does not train from random
+    # init (measured: 1200 from-scratch steps leave predictions uncorrelated
+    # with the input). Reproduce the real pipeline: ONE main-stage pretrain
+    # on the same folders, then every arm's SR fine-tune continues from the
+    # SAME handoff checkpoints (for --framework both, the handoff IS the
+    # shared init — the fairness anchor of the SR head-to-head).
+    sr_pretrained = False
     scores = {}
     for arm in arms:
-        if arm.endswith("_ref"):
-            train_reference(dirs, intr, args, arm)
-        elif args.stage == "sr":
-            # the reference's SR stage is a FINE-TUNE of trained main-stage
-            # weights (README: --continue_train, lr 2e-5 = main's /10) — its
-            # x5/x2 loss weights are tuned for that and the stage does not
-            # train from random init (measured: 1200 from-scratch steps leave
-            # predictions uncorrelated with the input). Reproduce the real
-            # pipeline: main-stage pretrain on the same folders, then SR
-            # fine-tune continues from the handoff checkpoints.
-            pre = copy.copy(args)
-            pre.stage = "main"
-            pre._load_hw = (240, 320)  # random 128^2 crops of the 480x640 scenes
-            train(dirs, intr, pre, arm)
+        if args.stage == "sr":
+            if not sr_pretrained:
+                pre = copy.copy(args)
+                pre.stage = "main"
+                pre._load_hw = (240, 320)  # random 128^2 crops of 480x640
+                pre._shared_init = False
+                if args.sr_pre_epochs:
+                    pre.epochs = args.sr_pre_epochs
+                train(dirs, intr, pre, arms[0])
+                src = os.path.join(args.ckpt_dir, arms[0])
+                for other in arms[1:]:
+                    dst = os.path.join(args.ckpt_dir, other)
+                    os.makedirs(dst, exist_ok=True)
+                    for f in os.listdir(src):
+                        if f.startswith("latest_net_"):
+                            shutil.copy2(os.path.join(src, f),
+                                         os.path.join(dst, f))
+                sr_pretrained = True
             ft = copy.copy(args)
             ft.lr = args.lr * 0.1  # the README's main->SR lr ratio
             ft._continue_latest = True
-            train(dirs, intr, ft, arm)
+            ft._shared_init = False
+            if arm.endswith("_ref"):
+                train_reference(dirs, intr, ft, arm)
+            else:
+                train(dirs, intr, ft, arm)
+        elif arm.endswith("_ref"):
+            train_reference(dirs, intr, args, arm)
         else:
             train(dirs, intr, args, arm)
         pred_dir = os.path.join(args.root, "pred_" + arm)
