@@ -114,6 +114,16 @@ def random_rect_holes(
     planar = base_valid_mask.ndim == 3
     if planar:
         base_valid_mask = base_valid_mask[..., None]
+    if p == 0.0:
+        # Bernoulli(p=0) zeroes every rectangle size, so the general path
+        # below deterministically returns all-ones (no pixel is covered by a
+        # zero-size rectangle). Short-circuit statically: eval-mode forwards
+        # pass p=0.0 (main_sr_model.py:299/320 eval branch), so serving
+        # graphs drop the whole iota/einsum/punch synthesis chain instead of
+        # compiling it in. Numerics identical (tests/test_depth_ops.py);
+        # sibling RNG streams are unaffected (the caller split/fold_in'd).
+        out = jnp.ones_like(base_valid_mask)
+        return out[..., 0] if planar else out
     b, h, w, _ = base_valid_mask.shape
     k_num, k_x, k_y, k_sx, k_sy, k_bx, k_by = jax.random.split(rng, 7)
 

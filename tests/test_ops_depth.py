@@ -73,9 +73,17 @@ def test_random_rect_holes_properties():
 def test_random_rect_holes_test_mode_no_holes():
     key = jax.random.PRNGKey(1)
     base = jnp.ones((2, 64, 64, 1), jnp.float32)
-    # test-time config: n=11, p=0 -> all sizes zero -> no holes
+    # test-time config: n=11, p=0 -> all sizes zero -> no holes. (p == 0.0
+    # takes the static all-ones short-circuit that prunes the synthesis
+    # chain out of serving graphs; Bernoulli(0) makes the general path
+    # produce the same all-ones mask.)
     m = D.random_rect_holes(key, base, n_max=11, p=0.0)
+    assert m.shape == base.shape and m.dtype == base.dtype
     assert float(np.asarray(m).min()) == 1.0
+    # planar (B, H, W) input keeps its rank through the short-circuit
+    mp = D.random_rect_holes(key, base[..., 0], n_max=11, p=0.0)
+    assert mp.shape == base.shape[:3]
+    assert float(np.asarray(mp).min()) == 1.0
 
 
 def test_punch_holes():

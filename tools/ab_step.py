@@ -150,6 +150,13 @@ def main():
                     help="with --eval: keep only the real-branch prediction "
                          "(predict.py's graph) so XLA prunes the synthetic "
                          "branch; combine with --no_batched_branches")
+    ap.add_argument("--multi", type=int, default=0,
+                    help="N>0: time optimize_parameters_multi (lax.scan of N "
+                         "steps, ONE device dispatch per call). Pair with a "
+                         "LONG --warmup (counted in CALLS): the axon runtime "
+                         "warms larger programs slower (PERF.md round-3/4 "
+                         "lessons) — the round-2 scan-of-8 number used only "
+                         "16 executions")
     ap.add_argument("--eval", action="store_true",
                     help="time the SERVING graph instead: the jitted "
                          "forward-only multi-net apply predict.py dispatches "
@@ -182,6 +189,27 @@ def main():
         m = model.metrics
         key = "G" if "G" in m else sorted(m)[0]
         return float(m[key])
+
+    if args.multi > 0:
+        assert model.supports_multi_step(), "stage lacks a train scan"
+        batches = [data] * args.multi
+        for i in range(args.warmup):
+            model.optimize_parameters_multi(batches, (i + 1) * args.multi)
+            if i % 5 == 4:
+                sync()  # surface warmup progress / keep the pipeline honest
+        sync()
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            model.optimize_parameters_multi(
+                batches, (args.warmup + i + 1) * args.multi)
+        sync()
+        dt = (time.perf_counter() - t0) / (args.steps * args.multi)
+        n_chips = max(1, len(jax.devices()))
+        print(f"[ab] stage={args.stage} MULTI={args.multi} extra={extra} "
+              f"backend={jax.default_backend()} calls={args.steps} "
+              f"warmup_calls={args.warmup}")
+        print(f"[ab] {dt:.4f} s/step  {b / dt / n_chips:.4f} pairs/sec/chip")
+        return
 
     for i in range(args.warmup):
         model.optimize_parameters(i + 1)
