@@ -172,7 +172,7 @@ def main():
 
     argv = STAGE_ARGV[args.stage] + [
         "--name", f"ab_{args.stage}", "--checkpoints_dir", "/tmp/desr_ab_ckpt",
-    ] + extra
+    ] + (["--steps_per_call", str(args.multi)] if args.multi > 0 else []) + extra
     opt = TrainOptions().parse(argv)
     model = create_model(opt)
     model.setup()
